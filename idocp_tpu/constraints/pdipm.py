@@ -1,0 +1,62 @@
+"""Primal-dual interior-point helpers (slack/dual algebra).
+
+TPU-native replacement for the reference's pdipm free functions
+(idocp `constraints/pdipm.hpp`, SURVEY.md L2-constraints): barrier terms,
+complementarity residuals, fraction-to-boundary rule, and the condensing
+formulas that fold slack/dual pairs into the stage quadratic model.
+
+Derivation used by condense/expand (g(z) + s = 0, s > 0, ν > 0,
+s∘ν = μ_barrier; r_p = g + s, r_c = s∘ν − μ):
+    ds = −r_p − ∇g dz
+    dν = (ν∘r_p − r_c)/s + (ν/s)∘(∇g dz)
+    Hessian += ∇gᵀ diag(ν/s) ∇g
+    gradient += ∇gᵀ (ν + (ν∘r_p − r_c)/s)
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def init_slack_dual(g, barrier, min_slack=1e-4):
+    """Feasible initialization (reference: Constraints::setSlackAndDual)."""
+    slack = jnp.maximum(-g, min_slack)
+    dual = barrier / slack
+    return slack, dual
+
+
+def barrier_value(slack, barrier, mask=None):
+    """−μ Σ log s (line-search merit contribution)."""
+    term = -barrier * jnp.log(jnp.clip(slack, 1e-30))
+    if mask is not None:
+        term = term * mask
+    return jnp.sum(term)
+
+
+def residuals(g, slack, dual, barrier):
+    """(primal residual, complementarity residual)."""
+    return g + slack, slack * dual - barrier
+
+
+def condense_terms(g, slack, dual, barrier):
+    """Per-row (sigma, rhs) with Hessian += ∇gᵀ diag(sigma) ∇g and
+    gradient += ∇gᵀ rhs."""
+    r_p, r_c = residuals(g, slack, dual, barrier)
+    sigma = dual / slack
+    rhs = dual + (dual * r_p - r_c) / slack
+    return sigma, rhs
+
+
+def expand(g, slack, dual, barrier, dg):
+    """Recover (ds, dν) from the directional derivative dg = ∇g dz
+    (reference: ConstraintComponentBase::expandSlackAndDual)."""
+    r_p, r_c = residuals(g, slack, dual, barrier)
+    ds = -r_p - dg
+    dnu = -(r_c + dual * ds) / slack
+    return ds, dnu
+
+
+def fraction_to_boundary(x, dx, tau=0.995):
+    """max α ∈ (0, 1] with x + α dx ≥ (1 − τ) x, elementwise over all rows
+    (reference: pdipm::FractionToBoundaryRule)."""
+    ratio = jnp.where(dx < 0, -tau * x / jnp.where(dx < 0, dx, -1.0), 1.0)
+    return jnp.minimum(1.0, jnp.min(ratio)) if ratio.ndim else ratio

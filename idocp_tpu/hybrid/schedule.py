@@ -1,0 +1,171 @@
+"""Contact sequence and static-shape horizon discretization.
+
+TPU-native replacement for the reference's hybrid layer
+(idocp `hybrid/contact_sequence.hpp`, `hybrid/discrete_event.hpp`,
+`hybrid/ocp_discretizer.hpp`; SURVEY.md L4). Where the reference *inserts*
+impulse/aux/lift stages dynamically, this discretizer emits a fixed grid of
+N stages with per-stage masks (static shapes for XLA):
+
+  - an impulse event becomes a mask-gated impulse map at the start of the
+    stage whose left boundary is snapped to the event time;
+  - a lift event is just a change of the per-stage contact mask;
+  - the stage *ending* at an impulse carries the switching-constraint mask.
+
+Host-side numpy (runs every MPC step; the batch variant is the natural
+native-code candidate), emitting a HorizonSchedule pytree of stacked arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class HorizonSchedule:
+    """Stacked per-stage annotations consumed by the jitted solver."""
+    dt: jnp.ndarray              # (N,)
+    t_offset: jnp.ndarray        # (N,) stage start minus t0
+    contact_active: jnp.ndarray  # (N, nc) bool
+    contact_pos: jnp.ndarray     # (N, nc, 3) Baumgarte position refs
+    imp_mask: jnp.ndarray        # (N,) bool: impulse at stage start
+    imp_contact: jnp.ndarray     # (N, nc) bool: impacting contacts
+    sw_contact: jnp.ndarray      # (N, nc) bool: switching constraint rows
+    sw_pos: jnp.ndarray          # (N, nc, 3) planned footholds
+
+
+jax.tree_util.register_dataclass(
+    HorizonSchedule,
+    data_fields=[f.name for f in dataclasses.fields(HorizonSchedule)],
+    meta_fields=[])
+
+
+@dataclasses.dataclass
+class DiscreteEvent:
+    """Transition between two contact sets at `time`
+    (reference: hybrid/discrete_event.hpp)."""
+    time: float
+    active: np.ndarray        # (nc,) bool: contact set AFTER the event
+    position: np.ndarray      # (nc, 3): contact positions after the event
+
+    def is_impulse(self, prev_active) -> bool:
+        return bool(np.any(self.active & ~np.asarray(prev_active)))
+
+
+class ContactSequence:
+    """Ordered contact phases over time (reference:
+    hybrid/contact_sequence.hpp: init/push_back/pop_front)."""
+
+    def __init__(self, nc: int, initial_active, initial_position=None):
+        self.nc = nc
+        self._init_active = np.asarray(initial_active, dtype=bool)
+        self._init_position = (np.zeros((nc, 3)) if initial_position is None
+                               else np.asarray(initial_position, float))
+        self.events: List[DiscreteEvent] = []
+
+    def push_back(self, time, active, position=None):
+        if self.events and time <= self.events[-1].time:
+            raise ValueError("events must be pushed in time order")
+        active = np.asarray(active, dtype=bool)
+        prev = self.events[-1].position if self.events else \
+            self._init_position
+        position = prev if position is None else np.asarray(position, float)
+        self.events.append(DiscreteEvent(float(time), active, position))
+
+    def pop_front(self):
+        """Drop the oldest event (MPC window slides past it) and absorb it
+        into the initial status."""
+        ev = self.events.pop(0)
+        self._init_active = ev.active
+        self._init_position = ev.position
+
+    def pop_back(self):
+        self.events.pop()
+
+    def status_at(self, t):
+        active, pos = self._init_active, self._init_position
+        for ev in self.events:
+            if ev.time <= t:
+                active, pos = ev.active, ev.position
+            else:
+                break
+        return active, pos
+
+    # ------------------------------------------------------------------
+    def discretize(self, t0, T, N, dtype=jnp.float64, min_dt_frac=0.1):
+        """Build the HorizonSchedule for [t0, t0+T] with N stages
+        (reference: HybridOCPDiscretization::discretize). Stage boundaries
+        nearest each in-horizon event are snapped to the event time."""
+        nc = self.nc
+        bounds = np.linspace(t0, t0 + T, N + 1)
+        dt0 = T / N
+        ev_in = [ev for ev in self.events if t0 < ev.time < t0 + T]
+        snapped = {}  # boundary index -> event
+        for ev in ev_in:
+            idx = int(np.clip(round((ev.time - t0) / dt0), 1, N - 1))
+            # avoid double-snapping one boundary
+            while idx in snapped and idx < N - 1:
+                idx += 1
+            if idx in snapped:
+                continue
+            bounds[idx] = ev.time
+            snapped[idx] = ev
+        # enforce monotonicity with a minimum step
+        min_dt = min_dt_frac * dt0
+        for k in range(1, N + 1):
+            if bounds[k] <= bounds[k - 1] + (min_dt if k < N else 0.0):
+                if k < N:
+                    bounds[k] = bounds[k - 1] + min_dt
+
+        dt = np.diff(bounds)
+        contact_active = np.zeros((N, nc), dtype=bool)
+        contact_pos = np.zeros((N, nc, 3))
+        imp_mask = np.zeros(N, dtype=bool)
+        imp_contact = np.zeros((N, nc), dtype=bool)
+        sw_contact = np.zeros((N, nc), dtype=bool)
+        sw_pos = np.zeros((N, nc, 3))
+
+        for k in range(N):
+            active, pos = self.status_at(bounds[k] + 1e-12)
+            contact_active[k] = active
+            contact_pos[k] = pos
+            if k in snapped:
+                ev = snapped[k]
+                prev_active, _ = self.status_at(ev.time - 1e-9)
+                new = ev.active & ~prev_active
+                if new.any():
+                    imp_mask[k] = True
+                    imp_contact[k] = new
+                    if k > 0:
+                        sw_contact[k - 1] = new
+                        sw_pos[k - 1] = ev.position
+
+        asj = lambda x: jnp.asarray(x)
+        return HorizonSchedule(
+            dt=jnp.asarray(dt, dtype),
+            t_offset=jnp.asarray(bounds[:-1] - t0, dtype),
+            contact_active=asj(contact_active),
+            contact_pos=jnp.asarray(contact_pos, dtype),
+            imp_mask=asj(imp_mask),
+            imp_contact=asj(imp_contact),
+            sw_contact=asj(sw_contact),
+            sw_pos=jnp.asarray(sw_pos, dtype),
+        )
+
+
+def static_schedule(nc, N, dt, active, position, dtype=jnp.float64):
+    """Fixed-stance schedule (ANYmal standing, BASELINE config #3)."""
+    active = np.asarray(active, dtype=bool)
+    return HorizonSchedule(
+        dt=jnp.full((N,), dt, dtype),
+        t_offset=jnp.asarray(np.arange(N) * dt, dtype),
+        contact_active=jnp.tile(jnp.asarray(active)[None], (N, 1)),
+        contact_pos=jnp.tile(jnp.asarray(position, dtype)[None], (N, 1, 1)),
+        imp_mask=jnp.zeros(N, dtype=bool),
+        imp_contact=jnp.zeros((N, nc), dtype=bool),
+        sw_contact=jnp.zeros((N, nc), dtype=bool),
+        sw_pos=jnp.zeros((N, nc, 3), dtype),
+    )

@@ -1,0 +1,101 @@
+"""Generic stage condensing: eliminate the equality-constrained inner block.
+
+TPU-native unification of the reference's three condensing engines
+(idocp `ocp/contact_dynamics.hpp`, `unconstr/unconstr_dynamics.hpp`,
+`impulse/impulse_dynamics.hpp`; SURVEY.md L3): given a stage quadratic
+model over z = (x, w) with w = [w_e; w_k], an equality constraint
+
+    E_x x + E_we w_e + E_wk w_k + e = 0        (dim(w_e) rows, E_we invertible)
+
+and the linearized state equation x' = F_x x + F_we w_e + F_wk w_k + r,
+substitute  w_e = T_x x + T_k w_k + t0  to obtain an unconstrained LQR
+stage in (x, w_k), plus the expansion operators for primal recovery and
+the data for dual recovery (expandPrimal / expandDual in the reference).
+
+All operations are dense small-matrix algebra — batched over stages and
+scenarios by vmap, they map onto the MXU.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .data import CondensedStage, StageQuad
+
+
+def condense(quad: StageQuad, E_x, E_we, E_wk, e, F_x, F_w, xres,
+             Cx_raw=None, Cw_raw=None, h=None):
+    """Build the condensed LQR stage. ne = E_we.shape[0], nk = E_wk.shape[1].
+
+    F_w is (nx × nw) over the full w = [w_e; w_k]; Cx_raw/Cw_raw/h define an
+    optional stage-wise equality (the switching constraint) over (x, w).
+    Returns (CondensedStage, Einv) — Einv is reused by dual expansion.
+    """
+    ne = E_we.shape[0]
+    nk = E_wk.shape[1]
+    nx = E_x.shape[1]
+    dtype = E_x.dtype
+
+    Einv = jnp.linalg.inv(E_we)
+    T_x = -Einv @ E_x
+    T_k = -Einv @ E_wk
+    t0 = -Einv @ e
+
+    # lifting: w = W_x x + W_k w_k + w0
+    Zx = jnp.zeros((nk, nx), dtype)
+    Ik = jnp.eye(nk, dtype=dtype)
+    W_x = jnp.concatenate([T_x, Zx], axis=0)          # (nw × nx)
+    W_k = jnp.concatenate([T_k, Ik], axis=0)          # (nw × nk)
+    w0 = jnp.concatenate([t0, jnp.zeros(nk, dtype)])  # (nw,)
+
+    QxwWk = quad.Qxw @ W_k
+    WxT_Qww = W_x.T @ quad.Qww
+    Qxx = (quad.Qxx + quad.Qxw @ W_x + (quad.Qxw @ W_x).T
+           + WxT_Qww @ W_x)
+    Qxu = QxwWk + WxT_Qww @ W_k
+    Quu = W_k.T @ quad.Qww @ W_k
+    lw_eff = quad.lw + quad.Qww @ w0
+    lx = quad.lx + W_x.T @ lw_eff + quad.Qxw @ w0
+    lu = W_k.T @ lw_eff
+
+    A = F_x + F_w @ W_x
+    B = F_w @ W_k
+    r = xres + F_w @ w0
+
+    if Cx_raw is None:
+        ns = 0
+        Cx = jnp.zeros((0, nx), dtype)
+        Cu = jnp.zeros((0, nk), dtype)
+        hh = jnp.zeros((0,), dtype)
+    else:
+        Cx = Cx_raw + Cw_raw @ W_x
+        Cu = Cw_raw @ W_k
+        hh = h + Cw_raw @ w0
+
+    return CondensedStage(
+        A=A, B=B, xres=r, lx=lx, lu=lu,
+        Qxx=0.5 * (Qxx + Qxx.T), Qxu=Qxu, Quu=0.5 * (Quu + Quu.T),
+        Wx=W_x[:ne], Wk=W_k[:ne], w0=w0[:ne],
+        Cx=Cx, Cu=Cu, h=hh,
+    ), Einv
+
+
+def expand_primal(cs: CondensedStage, dx, du):
+    """Recover the eliminated block direction w_e (reference: expandPrimal)."""
+    return cs.Wx @ dx + cs.Wk @ du + cs.w0
+
+
+def expand_dual(quad: StageQuad, Einv, F_w, dx, du, dwe, lam_next,
+                Cw_raw=None, xi=None):
+    """Recover the equality multiplier ν_e = (β, μ) from stationarity w.r.t.
+    w_e (reference: expandDual):
+        0 = [lw + Qxw' dx + Qww dw]_e + E_we' ν + [F_w' λ']_e (+ [Cw' ξ]_e)
+    lam_next is the next stage's costate at the NEW iterate.
+    """
+    ne = dwe.shape[0]
+    nk = du.shape[0]
+    dw = jnp.concatenate([dwe, du])
+    grad_w = quad.lw + quad.Qxw.T @ dx + quad.Qww @ dw + F_w.T @ lam_next
+    if Cw_raw is not None and xi is not None:
+        grad_w = grad_w + Cw_raw.T @ xi
+    nu = -Einv.T @ grad_w[:ne]
+    return nu

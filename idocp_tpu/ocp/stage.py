@@ -1,0 +1,426 @@
+"""Stage linearization + condensing: the per-stage hot path.
+
+TPU-native replacement for the reference's `SplitOCP` / `ImpulseSplitOCP` /
+`SplitUnconstrOCP` orchestration (idocp `ocp/split_ocp.hpp`,
+`impulse/impulse_split_ocp.hpp`, `unconstr/split_unconstr_ocp.hpp`;
+SURVEY.md L3). One pure function per stage type, vmapped over the horizon
+(replacing the reference's OpenMP stage loop, `ocp/ocp_linearizer.hpp`).
+
+Everything is assembled in the *named variable space*
+    z_named = (δq, δv_eff, a, f, u)   (dims nv, nv, nv, nf, nu)
+where v_eff is the post-impulse velocity (= v at non-impulse stages); the
+chain matrices Tx/Tw then map named-space quantities into the stage's
+(x, w) layout, including the impulse-map Jacobians (Gq, Gv). Layouts:
+  contact stage:  w = (a, f, u), eliminated (a, f), control u
+  unconstr stage: w = (u, a),   eliminated u,       control a
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..constraints import pdipm
+from ..robot import dynamics, kinematics
+from ..robot import model as model_mod
+from ..robot.contact import ContactModel
+from ..robot.model import RobotModel
+from .condensing import condense
+from .data import StageQuad
+from .state_equation import contact_block_matrix
+
+_ORDER = ("q", "v", "a", "f", "u")
+
+
+@dataclasses.dataclass(frozen=True)
+class StageLin:
+    """Raw + condensed stage linearization."""
+    quad: StageQuad          # over (x, w), incl. PDIPM condensing
+    cost: jnp.ndarray        # stage cost value (no barrier)
+    barrier: jnp.ndarray     # -mu sum log slack
+    E_x: jnp.ndarray
+    E_we: jnp.ndarray
+    E_wk: jnp.ndarray
+    e: jnp.ndarray
+    F_x: jnp.ndarray         # scaled (A-form) state-eq Jacobians
+    F_w: jnp.ndarray
+    xres: jnp.ndarray
+    Cx_raw: jnp.ndarray
+    Cw_raw: jnp.ndarray
+    h: jnp.ndarray
+    sw_mask: jnp.ndarray
+    g: Dict[str, jnp.ndarray]       # per-constraint-component values
+    Jz: Dict[str, jnp.ndarray]      # per-component Jacobians over (x|w)
+    lnamed: jnp.ndarray      # cost gradient in named space (for KKT error)
+    E_named: jnp.ndarray
+    C_named: jnp.ndarray
+    F_named: jnp.ndarray     # scaled state-eq Jacobian in named space
+    Tx: jnp.ndarray
+    Tw: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    StageLin,
+    data_fields=[f.name for f in dataclasses.fields(StageLin)],
+    meta_fields=[])
+
+
+def _named_offsets(nv, nf, nu):
+    return {"q": 0, "v": nv, "a": 2 * nv, "f": 3 * nv, "u": 3 * nv + nf}, \
+        3 * nv + nf + nu
+
+
+def _accumulate_named(blocks_list, offs, nn, dtype):
+    """Sum BlockQuads into dense named-space (value, l, H)."""
+    val = jnp.zeros((), dtype)
+    l = jnp.zeros((nn,), dtype)
+    H = jnp.zeros((nn, nn), dtype)
+    for b in blocks_list:
+        val = val + b.value
+        for name, g in b.l.items():
+            o = offs[name]
+            l = l.at[o:o + g.shape[0]].add(g)
+        for (n1, n2), Q in b.Q.items():
+            o1, o2 = offs[n1], offs[n2]
+            H = H.at[o1:o1 + Q.shape[0], o2:o2 + Q.shape[1]].add(Q)
+            if n1 != n2:
+                H = H.at[o2:o2 + Q.shape[1], o1:o1 + Q.shape[0]].add(Q.T)
+    return val, l, H
+
+
+def _impulse_quantities(model, cm, q, v, imp_mask, imp_contact):
+    """v_eff, Λ and their tangent Jacobians (Gq, Gv, Lq, Lv), mask-gated."""
+    nv, nf = model.nv, cm.max_dimf
+    dtype = q.dtype
+    zero = jnp.zeros((nv,), dtype)
+
+    def vl(eq, vv):
+        qq = model_mod.integrate(model, q, eq)
+        A, Jm, _ = contact_block_matrix(model, cm, qq, imp_contact)
+        rhs = jnp.concatenate([jnp.zeros(nv, dtype), -Jm @ vv])
+        sol = jnp.linalg.solve(A, rhs)
+        dv, lam = sol[:nv], sol[nv:]
+        m = imp_mask.astype(dtype)
+        return jnp.concatenate([vv + m * dv, m * lam])
+
+    out, tang = jax.jvp(lambda e: vl(e, v), (zero,), (zero,))
+    Jq = jax.jacfwd(lambda e: vl(e, v))(zero)
+    Jv = jax.jacfwd(lambda vv: vl(zero, vv))(v)
+    v_eff, lam = out[:nv], out[nv:]
+    Gq, Gv = Jq[:nv], Jv[:nv]
+    Lq, Lv = Jq[nv:], Jv[nv:]
+    del tang
+    return v_eff, lam, Gq, Gv, Lq, Lv
+
+
+def _dynamics_blocks(model, cm, q, v_eff, a, f, u, contact_active, p_ref):
+    """ID + Baumgarte residuals and named-space Jacobian blocks."""
+    nv, nf, nu = model.nv, cm.max_dimf, model.nu
+    dtype = q.dtype
+    mask3 = jnp.repeat(contact_active.astype(dtype), 3)
+    S_T = jnp.concatenate(
+        [jnp.zeros((nv - nu, nu), dtype), jnp.eye(nu, dtype=dtype)], axis=0)
+
+    def resid(eq, vv, aa):
+        qq = model_mod.integrate(model, q, eq)
+        fm = (mask3 * f).reshape(cm.nc, 3)
+        id_res = dynamics.rnea(model, qq, vv, aa, cm.frame_ids, fm) - S_T @ u
+        acc = kinematics.frame_accelerations(model, qq, vv, aa, cm.frame_ids)
+        vel = kinematics.frame_velocities(model, qq, vv, cm.frame_ids)
+        pos = kinematics.frame_positions(model, qq, cm.frame_ids)
+        baum = (acc + cm.kd * vel + cm.kp * (pos - p_ref)).reshape(3 * cm.nc)
+        baum = mask3 * baum + (1.0 - mask3) * f
+        return jnp.concatenate([id_res, baum])
+
+    zero = jnp.zeros((nv,), dtype)
+    e = resid(zero, v_eff, a)
+    Dq = jax.jacfwd(lambda x: resid(x, v_eff, a))(zero)
+    Dv = jax.jacfwd(lambda x: resid(zero, x, a))(v_eff)
+    # a/f/u blocks are analytic: the contact block matrix
+    EW, Jm, _ = contact_block_matrix(model, cm, q, contact_active)
+    E_af = EW  # [[M, -Jm^T],[Jm, Sigma]]
+    E_u = jnp.concatenate([-S_T, jnp.zeros((nf, nu), dtype)], axis=0)
+    return e, Dq, Dv, E_af, E_u
+
+
+def _state_eq_blocks(model, dt, q, v_eff, a, q_next, v_next):
+    """Scaled (A-form) state-equation blocks in named space.
+
+    Semi-implicit Euler (reference variant, SURVEY.md §0.1):
+        v' = v_eff + dt a;  q' = q ⊕ dt v' = q ⊕ dt (v_eff + dt a)
+    q-row scaled by -Jn^{-1} so x' appears with identity coefficient.
+    """
+    nv = model.nv
+    dtype = q.dtype
+    zero = jnp.zeros((nv,), dtype)
+
+    def rq(eq, dvv, daa, en):
+        qp = model_mod.integrate(
+            model, model_mod.integrate(model, q, eq),
+            dt * (v_eff + dvv + dt * (a + daa)))
+        qn = model_mod.integrate(model, q_next, en)
+        return model_mod.difference(model, qn, qp)
+
+    rq0 = rq(zero, zero, zero, zero)
+    Jq = jax.jacfwd(lambda x: rq(x, zero, zero, zero))(zero)
+    Jv = jax.jacfwd(lambda x: rq(zero, x, zero, zero))(zero)
+    Jn = jax.jacfwd(lambda x: rq(zero, zero, zero, x))(zero)
+    nJni = -jnp.linalg.inv(Jn)
+    # scaled q-row over named (q, v, a): -Jn^{-1} [Jq, Jv, dt*Jv]
+    Aq_q = nJni @ Jq
+    Aq_v = nJni @ Jv
+    Aq_a = dt * Aq_v
+    rq_s = nJni @ rq0
+    rv0 = v_eff + dt * a - v_next
+    return Aq_q, Aq_v, Aq_a, rq_s, rv0
+
+
+def _switching_blocks(model, cm, dt, q, v_eff, a, sw_contact, sw_pos):
+    """Masked touchdown (switching) constraint at a pre-impulse stage:
+    contact-frame positions of the *predicted next config* must equal the
+    planned footholds (reference: ocp/switching_constraint.hpp)."""
+    nv = model.nv
+    dtype = q.dtype
+    zero = jnp.zeros((nv,), dtype)
+    mask3 = jnp.repeat(sw_contact.astype(dtype), 3)
+
+    def res(eq, dvv, daa):
+        qq = model_mod.integrate(model, q, eq)
+        qp = model_mod.integrate(
+            model, qq, dt * (v_eff + dvv + dt * (a + daa)))
+        pos = kinematics.frame_positions(model, qp, cm.frame_ids)
+        return mask3 * (pos - sw_pos).reshape(3 * cm.nc)
+
+    h = res(zero, zero, zero)
+    Cq = jax.jacfwd(lambda x: res(x, zero, zero))(zero)
+    Cv = jax.jacfwd(lambda x: res(zero, x, zero))(zero)
+    Ca = jax.jacfwd(lambda x: res(zero, zero, x))(zero)
+    return h, Cq, Cv, Ca, mask3
+
+
+def linearize_contact_stage(
+        model: RobotModel, cm: ContactModel, costs, constraints, options,
+        t, dt, q, v, a, f, u, q_next, v_next, slack, dual,
+        contact_active, p_ref, imp_mask, imp_contact,
+        sw_mask_any, sw_contact, sw_pos, ctx=None) -> StageLin:
+    """Linearize + condense one whole-body stage (reference:
+    SplitOCP::computeKKTSystem + ContactDynamics::condense)."""
+    nv, nf, nu = model.nv, cm.max_dimf, model.nu
+    nx, nw = 2 * nv, nv + nf + nu
+    dtype = q.dtype
+    offs, nn = _named_offsets(nv, nf, nu)
+
+    # impulse gate: post-impulse velocity + impact impulse and Jacobians
+    v_eff, lam, Gq, Gv, Lq, Lv = _impulse_quantities(
+        model, cm, q, v, imp_mask, imp_contact)
+
+    # ---- costs in named space
+    fmask = jnp.repeat(contact_active.astype(dtype), 3)
+    blocks = [c.stage(ctx, t, dt, q, v_eff, a, f, u, fmask) for c in costs]
+
+    # impulse-specific cost (reference: impulse cost components): quadratic
+    # on dv = v_eff - v and on Λ, gated by imp_mask, chained below via G/L.
+    val, lnamed, H = _accumulate_named(blocks, offs, nn, dtype)
+    lcond = lnamed  # cost gradient + PDIPM condensed terms (for the QP)
+
+    # ---- PDIPM: evaluate, condense into named H/l
+    g_all, Jz_all = {}, {}
+    barrier = jnp.zeros((), dtype)
+    for comp in constraints:
+        g, Jblocks = comp.evaluate(ctx, q, v_eff, a, f, u, fmask)
+        Jn_ = jnp.zeros((comp.dim, nn), dtype)
+        for name, Jb in Jblocks.items():
+            o = offs[name]
+            Jn_ = Jn_.at[:, o:o + Jb.shape[1]].add(Jb)
+        s_, d_ = slack[comp.name], dual[comp.name]
+        sigma, rhs = pdipm.condense_terms(g, s_, d_, options.barrier)
+        H = H + Jn_.T @ (sigma[:, None] * Jn_)
+        lcond = lcond + Jn_.T @ rhs
+        barrier = barrier + pdipm.barrier_value(s_, options.barrier)
+        g_all[comp.name] = g
+        Jz_all[comp.name] = Jn_  # named for now; chained below
+
+    # ---- dynamics equality in named space
+    e, Dq, Dv, E_af, E_u = _dynamics_blocks(
+        model, cm, q, v_eff, a, f, u, contact_active, p_ref)
+    E_named = jnp.concatenate([Dq, Dv, jnp.concatenate([E_af, E_u], axis=1)],
+                              axis=1)
+
+    # ---- state equation (scaled)
+    Aq_q, Aq_v, Aq_a, rq_s, rv0 = _state_eq_blocks(
+        model, dt, q, v_eff, a, q_next, v_next)
+    Z_qf = jnp.zeros((nv, nf), dtype)
+    Z_qu = jnp.zeros((nv, nu), dtype)
+    I_v = jnp.eye(nv, dtype=dtype)
+    F_named = jnp.concatenate([
+        jnp.concatenate([Aq_q, Aq_v, Aq_a, Z_qf, Z_qu], axis=1),
+        jnp.concatenate([jnp.zeros((nv, nv), dtype), I_v, dt * I_v, Z_qf,
+                         Z_qu], axis=1),
+    ], axis=0)
+    xres = jnp.concatenate([rq_s, rv0])
+
+    # ---- switching constraint
+    h, Cq, Cv, Ca, swm3 = _switching_blocks(
+        model, cm, dt, q, v_eff, a, sw_contact, sw_pos)
+    C_named = jnp.concatenate(
+        [Cq, Cv, Ca, jnp.zeros((3 * cm.nc, nf + nu), dtype)], axis=1)
+
+    # ---- chain matrices named <- (x | w)
+    Tx = jnp.zeros((nn, nx), dtype)
+    Tx = Tx.at[0:nv, 0:nv].set(jnp.eye(nv, dtype=dtype))
+    Tx = Tx.at[nv:2 * nv, 0:nv].set(Gq)
+    Tx = Tx.at[nv:2 * nv, nv:2 * nv].set(Gv)
+    Tw = jnp.zeros((nn, nw), dtype)
+    Tw = Tw.at[2 * nv:, :].set(jnp.eye(nv + nf + nu, dtype=dtype))
+
+    quad = StageQuad(
+        value=val,
+        lx=Tx.T @ lcond, lw=Tw.T @ lcond,
+        Qxx=Tx.T @ H @ Tx, Qxw=Tx.T @ H @ Tw, Qww=Tw.T @ H @ Tw,
+    )
+    E_x = E_named @ Tx
+    E_w = E_named @ Tw
+    E_we, E_wk = E_w[:, :nv + nf], E_w[:, nv + nf:]
+    F_x = F_named @ Tx
+    F_w = F_named @ Tw
+    Cx_raw = C_named @ Tx
+    Cw_raw = C_named @ Tw
+    Jz = {k: jnp.concatenate([Jn_ @ Tx, Jn_ @ Tw], axis=1)
+          for k, Jn_ in Jz_all.items()}
+
+    return StageLin(
+        quad=quad, cost=val, barrier=barrier,
+        E_x=E_x, E_we=E_we, E_wk=E_wk, e=e,
+        F_x=F_x, F_w=F_w, xres=xres,
+        Cx_raw=Cx_raw, Cw_raw=Cw_raw, h=h, sw_mask=swm3,
+        g=g_all, Jz=Jz, lnamed=lnamed, E_named=E_named, C_named=C_named,
+        F_named=F_named, Tx=Tx, Tw=Tw,
+    )
+
+
+def linearize_unconstr_stage(
+        model: RobotModel, costs, constraints, options,
+        t, dt, q, v, a, u, q_next, v_next, slack, dual, ctx=None) -> StageLin:
+    """Fixed-base contact-free fast path (reference: SplitUnconstrOCP +
+    UnconstrDynamics): w = (u, a), eliminate u, control a. nf = 0."""
+    nv, nu = model.nv, model.nu
+    assert nu == nv, "unconstr path requires a fully-actuated fixed base"
+    nx, nw = 2 * nv, 2 * nv
+    dtype = q.dtype
+    # named space with nf=0: (q, v, a, f:0, u)
+    offs, nn = _named_offsets(nv, 0, nu)
+    f = jnp.zeros((0,), dtype)
+    fmask = jnp.zeros((0,), dtype)
+
+    blocks = [c.stage(ctx, t, dt, q, v, a, f, u, fmask) for c in costs]
+    val, lnamed, H = _accumulate_named(blocks, offs, nn, dtype)
+    lcond = lnamed
+
+    g_all, Jz_all = {}, {}
+    barrier = jnp.zeros((), dtype)
+    for comp in constraints:
+        g, Jblocks = comp.evaluate(ctx, q, v, a, f, u, fmask)
+        Jn_ = jnp.zeros((comp.dim, nn), dtype)
+        for name, Jb in Jblocks.items():
+            o = offs[name]
+            Jn_ = Jn_.at[:, o:o + Jb.shape[1]].add(Jb)
+        s_, d_ = slack[comp.name], dual[comp.name]
+        sigma, rhs = pdipm.condense_terms(g, s_, d_, options.barrier)
+        H = H + Jn_.T @ (sigma[:, None] * Jn_)
+        lcond = lcond + Jn_.T @ rhs
+        barrier = barrier + pdipm.barrier_value(s_, options.barrier)
+        g_all[comp.name] = g
+        Jz_all[comp.name] = Jn_
+
+    # ID equality: ID(q, v, a) - u = 0
+    zero = jnp.zeros((nv,), dtype)
+
+    def idres(eq, vv, aa):
+        qq = model_mod.integrate(model, q, eq)
+        return dynamics.rnea(model, qq, vv, aa) - u
+
+    e = idres(zero, v, a)
+    Dq = jax.jacfwd(lambda x: idres(x, v, a))(zero)
+    Dv = jax.jacfwd(lambda x: idres(zero, x, a))(v)
+    M = dynamics.mass_matrix(model, q)
+    E_named = jnp.concatenate(
+        [Dq, Dv, M, -jnp.eye(nv, dtype=dtype)], axis=1)
+
+    Aq_q, Aq_v, Aq_a, rq_s, rv0 = _state_eq_blocks(
+        model, dt, q, v, a, q_next, v_next)
+    I_v = jnp.eye(nv, dtype=dtype)
+    Zv = jnp.zeros((nv, nv), dtype)
+    F_named = jnp.concatenate([
+        jnp.concatenate([Aq_q, Aq_v, Aq_a, Zv], axis=1),
+        jnp.concatenate([Zv, I_v, dt * I_v, Zv], axis=1),
+    ], axis=0)
+    xres = jnp.concatenate([rq_s, rv0])
+
+    # chains: x identity (no impulse); w = (u, a) permutation of named (a, u)
+    Tx = jnp.concatenate(
+        [jnp.eye(nx, dtype=dtype), jnp.zeros((nn - nx, nx), dtype)], axis=0)
+    Tw = jnp.zeros((nn, nw), dtype)
+    Tw = Tw.at[2 * nv:3 * nv, nv:2 * nv].set(I_v)  # named a <- w[nv:] (a)
+    Tw = Tw.at[3 * nv:, 0:nv].set(I_v)             # named u <- w[:nv] (u)
+
+    quad = StageQuad(
+        value=val, lx=Tx.T @ lcond, lw=Tw.T @ lcond,
+        Qxx=Tx.T @ H @ Tx, Qxw=Tx.T @ H @ Tw, Qww=Tw.T @ H @ Tw,
+    )
+    E_x = E_named @ Tx
+    E_w = E_named @ Tw
+    E_we, E_wk = E_w[:, :nv], E_w[:, nv:]
+    F_x = F_named @ Tx
+    F_w = F_named @ Tw
+    Jz = {k: jnp.concatenate([Jn_ @ Tx, Jn_ @ Tw], axis=1)
+          for k, Jn_ in Jz_all.items()}
+    Z0x = jnp.zeros((0, nx), dtype)
+    Z0w = jnp.zeros((0, nw), dtype)
+    z0 = jnp.zeros((0,), dtype)
+
+    return StageLin(
+        quad=quad, cost=val, barrier=barrier,
+        E_x=E_x, E_we=E_we, E_wk=E_wk, e=e,
+        F_x=F_x, F_w=F_w, xres=xres,
+        Cx_raw=Z0x, Cw_raw=Z0w, h=z0, sw_mask=z0,
+        g=g_all, Jz=Jz, lnamed=lnamed, E_named=E_named,
+        C_named=jnp.zeros((0, nn), dtype), F_named=F_named, Tx=Tx, Tw=Tw,
+    )
+
+
+def terminal_quad(model, costs, constraints, options, t, q, v, slack, dual,
+                  ctx=None):
+    """Terminal-stage quadratic model (reference: ocp/terminal_ocp.hpp),
+    including terminal-applicable inequality components."""
+    nv = model.nv
+    dtype = q.dtype
+    blocks = [c.terminal(ctx, t, q, v) for c in costs]
+    offs = {"q": 0, "v": nv}
+    nn = 2 * nv
+    val, l, H = _accumulate_named(blocks, offs, nn, dtype)
+    lraw = l
+    barrier = jnp.zeros((), dtype)
+    g_all, Jz_all = {}, {}
+    zf = jnp.zeros((0,), dtype)
+    za = jnp.zeros((nv,), dtype)
+    zu = jnp.zeros((model.nu,), dtype)
+    for comp in constraints:
+        if not comp.is_terminal():
+            continue
+        g, Jblocks = comp.evaluate(ctx, q, v, za, zf, zu, zf)
+        Jn_ = jnp.zeros((comp.dim, nn), dtype)
+        for name, Jb in Jblocks.items():
+            if name not in offs:
+                continue
+            o = offs[name]
+            Jn_ = Jn_.at[:, o:o + Jb.shape[1]].add(Jb)
+        s_, d_ = slack[comp.name], dual[comp.name]
+        sigma, rhs = pdipm.condense_terms(g, s_, d_, options.barrier)
+        H = H + Jn_.T @ (sigma[:, None] * Jn_)
+        l = l + Jn_.T @ rhs
+        barrier = barrier + pdipm.barrier_value(s_, options.barrier)
+        g_all[comp.name] = g
+        Jz_all[comp.name] = Jn_
+    return val, l, 0.5 * (H + H.T), barrier, g_all, Jz_all, lraw

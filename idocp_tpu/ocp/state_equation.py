@@ -1,0 +1,70 @@
+"""State equation on the configuration Lie group + impulse map.
+
+TPU-native replacement for the reference's `StateEquation` and
+`ImpulseDynamics` state maps (idocp `ocp/state_equation.hpp`,
+`impulse/impulse_dynamics.hpp`; SURVEY.md L3). The impulse is an explicit
+function of the pre-impulse state — [M, −Jᵀ; J, Σ] is invertible, so
+(dv, Λ) are *eliminated exactly* rather than kept as decision variables
+(a simplification the reference's full-KKT architecture could not make;
+the resulting Newton directions coincide).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..robot import dynamics
+from ..robot import model as model_mod
+from ..robot.contact import ContactModel
+from ..robot.model import RobotModel
+
+
+def contact_block_matrix(model: RobotModel, cm: ContactModel, q, active):
+    """[[M, −J̃ᵀ], [J̃, Σ]] with J̃ = mask·J and Σ = diag(1 − mask):
+    invertible for any active set, decoupling inactive slots (df = 0).
+    Shared by impulse dynamics and contact condensing."""
+    nv, nf = model.nv, cm.max_dimf
+    M = dynamics.mass_matrix(model, q)
+    J = dynamics.contact_velocity_jacobian(model, q, cm.frame_ids)
+    mask3 = jnp.repeat(active.astype(q.dtype), 3)
+    Jm = mask3[:, None] * J
+    Sigma = jnp.diag(1.0 - mask3)
+    top = jnp.concatenate([M, -Jm.T], axis=1)
+    bot = jnp.concatenate([Jm, Sigma], axis=1)
+    return jnp.concatenate([top, bot], axis=0), Jm, mask3
+
+
+def impulse_map(model: RobotModel, cm: ContactModel, q, v, active):
+    """(v⁺, Λ): perfectly inelastic impact on the newly-active contacts:
+    M (v⁺ − v) = J̃ᵀ Λ, J̃ v⁺ = 0 (reference: ImpulseDynamics)."""
+    nv, nf = model.nv, cm.max_dimf
+    A, Jm, mask3 = contact_block_matrix(model, cm, q, active)
+    rhs = jnp.concatenate([jnp.zeros(nv, q.dtype), -Jm @ v])
+    sol = jnp.linalg.solve(A, rhs)
+    dv, lam = sol[:nv], sol[nv:]
+    return v + dv, lam
+
+
+def linearize_transition(model: RobotModel, dt, q, v_eff, a, q_next, v_next):
+    """Linearize the Euler step q' = q ⊕ dt·v_eff, v' = v_eff + dt·a.
+
+    Returns (A_q blocks in the form x' = ... ): specifically
+      rq0: residual difference(q_next, q ⊕ dt v_eff)   [tangent at q_next]
+      Jq (nv×nv), Jv (nv×nv), Jn (nv×nv): d rq / d(δq, δv_eff, δq_next)
+    The v-row is exact/linear: rv0 = v_eff + dt a − v_next.
+    """
+    nv = model.nv
+    zero = jnp.zeros((nv,), dtype=q.dtype)
+
+    def res(eq, dv_, en):
+        qp = model_mod.integrate(model, model_mod.integrate(model, q, eq),
+                                 dt * (v_eff + dv_))
+        qn = model_mod.integrate(model, q_next, en)
+        return model_mod.difference(model, qn, qp)
+
+    rq0 = res(zero, zero, zero)
+    Jq = jax.jacfwd(lambda e: res(e, zero, zero))(zero)
+    Jv = jax.jacfwd(lambda e: res(zero, e, zero))(zero)
+    Jn = jax.jacfwd(lambda e: res(zero, zero, e))(zero)
+    rv0 = v_eff + dt * a - v_next
+    return rq0, Jq, Jv, Jn, rv0

@@ -1,0 +1,125 @@
+"""Riccati recursion over the horizon via lax.scan, with masked stage-wise
+equality constraints (the switching constraint).
+
+TPU-native replacement for the reference's riccati/ layer
+(idocp `riccati/riccati_recursion.hpp`, `backward_riccati_recursion_
+factorizer.hpp`, `split_constrained_riccati_factorization.hpp`,
+`lqr_policy.hpp`; SURVEY.md L5). The serial sweep is a `lax.scan` carrying
+(P, s); every per-stage operation is dense small-matrix algebra that
+batches over scenarios via vmap.
+
+Value convention: V_k(dx) = 1/2 dx' P_k dx + s_k' dx + const, costate
+λ_k = ∇V_k = P_k dx_k + s_k.
+
+Constrained stage step (masked switching constraint C_x dx + C_u du + h=0,
+reference: the paper-2 constrained factorization):
+    min_du 1/2 du'G du + du'(g + Hxu' dx)   s.t.  C_u du + C_x dx + h = 0
+solved via the fixed-size KKT system
+    [G, C_u'; C_u, -Σ] [du; ξ] = -[g + Hxu' dx; h + C_x dx]
+where Σ = diag(1 - mask) decouples inactive rows (ξ_i = 0 there).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ocp.data import CondensedStage
+
+
+@dataclasses.dataclass(frozen=True)
+class LQRPolicy:
+    """du = K dx + k; ξ = Kxi dx + kxi (reference: riccati/lqr_policy.hpp)."""
+    K: jnp.ndarray
+    k: jnp.ndarray
+    Kxi: jnp.ndarray
+    kxi: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    LQRPolicy, data_fields=["K", "k", "Kxi", "kxi"], meta_fields=[])
+
+
+def backward_step(P, s, cs: CondensedStage, sw_mask, reg=0.0):
+    """One backward Riccati step. sw_mask: (ns,) 1/0 rows of the switching
+    constraint active at this stage (ns = 0 disables entirely)."""
+    A, B, r = cs.A, cs.B, cs.xres
+    PA = P @ A
+    PB = P @ B
+    Pr_s = P @ r + s
+    F = cs.Qxx + A.T @ PA
+    Hxu = cs.Qxu + A.T @ PB
+    G = cs.Quu + B.T @ PB
+    gu = cs.lu + B.T @ Pr_s
+    nu_, ns = G.shape[0], cs.Cx.shape[0]
+    dtype = G.dtype
+    if reg:
+        G = G + reg * jnp.eye(nu_, dtype=dtype)
+
+    if ns == 0:
+        L = jnp.linalg.cholesky(G)
+        K = -jax.scipy.linalg.cho_solve((L, True), Hxu.T)
+        kff = -jax.scipy.linalg.cho_solve((L, True), gu)
+        Kxi = jnp.zeros((0, F.shape[0]), dtype)
+        kxi = jnp.zeros((0,), dtype)
+        P_new = F + Hxu @ K
+        s_new = cs.lx + A.T @ Pr_s + Hxu @ kff
+    else:
+        mask = sw_mask.astype(dtype)
+        Cu = mask[:, None] * cs.Cu
+        Cx = mask[:, None] * cs.Cx
+        h = mask * cs.h
+        Sigma = jnp.diag(1.0 - mask)
+        KKT = jnp.concatenate([
+            jnp.concatenate([G, Cu.T], axis=1),
+            jnp.concatenate([Cu, -Sigma], axis=1),
+        ], axis=0)
+        KKTinv = jnp.linalg.inv(KKT)
+        rhs_K = -jnp.concatenate([Hxu.T, Cx], axis=0)
+        rhs_k = -jnp.concatenate([gu, h])
+        KK = KKTinv @ rhs_K
+        kk = KKTinv @ rhs_k
+        K, Kxi = KK[:nu_], KK[nu_:]
+        kff, kxi = kk[:nu_], kk[nu_:]
+        P_new = F + Hxu @ K + Cx.T @ Kxi
+        s_new = cs.lx + A.T @ Pr_s + Hxu @ kff + Cx.T @ kxi
+
+    P_new = 0.5 * (P_new + P_new.T)
+    policy = LQRPolicy(K=K, k=kff, Kxi=Kxi, kxi=kxi)
+    return P_new, s_new, policy
+
+
+def backward_recursion(P_term, s_term, stages: CondensedStage, sw_mask,
+                       reg=0.0):
+    """Scan from terminal to 0. stages: CondensedStage with leading stage
+    axis (N, ...); sw_mask (N, ns). Returns stacked (P, s, policy) with
+    P/s of shape (N+1, ...) including the terminal entry at index N."""
+
+    def step(carry, inp):
+        P, s = carry
+        cs, m = inp
+        P1, s1, pol = backward_step(P, s, cs, m, reg=reg)
+        return (P1, s1), (P1, s1, pol)
+
+    (_, _), (Ps, ss, pols) = jax.lax.scan(
+        step, (P_term, s_term), (stages, sw_mask), reverse=True)
+    P_all = jnp.concatenate([Ps, P_term[None]], axis=0)
+    s_all = jnp.concatenate([ss, s_term[None]], axis=0)
+    return P_all, s_all, pols
+
+
+def forward_rollout(dx0, stages: CondensedStage, pols: LQRPolicy):
+    """Scan 0 → N: dx_{k+1} = A dx_k + B du_k + r with du = K dx + k.
+    Returns (dx (N+1, nx), du (N, nu), dxi (N, ns))."""
+
+    def step(dx, inp):
+        cs, pol = inp
+        du = pol.K @ dx + pol.k
+        dxi = pol.Kxi @ dx + pol.kxi
+        dx1 = cs.A @ dx + cs.B @ du + cs.xres
+        return dx1, (dx, du, dxi)
+
+    dxN, (dxs, dus, dxis) = jax.lax.scan(step, dx0, (stages, pols))
+    dx_all = jnp.concatenate([dxs, dxN[None]], axis=0)
+    return dx_all, dus, dxis

@@ -1,0 +1,274 @@
+"""SO(3)/SE(3) Lie-group operations for floating-base configuration spaces.
+
+TPU-native analogue of the reference's Pinocchio Lie-group layer
+(idocp `robot/robot.hpp`: integrate/difference/dIntegrate, SURVEY.md L1):
+pure jnp functions, dtype-polymorphic, autodiff-safe at the identity
+(Taylor-guarded small-angle branches use the double-`where` pattern so
+gradients never see 0/0).
+
+Conventions (DESIGN.md): quaternions scalar-first (w, x, y, z); twists
+angular-first [omega(3), v(3)]; local (body-frame) integration
+X' = X * Exp6(xi).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS2 = 1e-12  # theta^2 threshold below which Taylor expansions are used
+
+
+def _safe_sqrt(x2):
+    """sqrt with a nonzero-gradient guard at x2 == 0."""
+    return jnp.sqrt(jnp.where(x2 < _EPS2, 1.0, x2))
+
+
+# --- f64-accurate trigonometry -------------------------------------------
+# XLA's f64 sin/cos/atan2 in this environment are only f32-accurate outside
+# the primary range (~1e-8 abs error: approximate range reduction). We do a
+# Cody-Waite 2-term reduction to r in [-pi/4, pi/4] and evaluate Taylor
+# kernels there (error < 1e-15 for our bounded angles).
+
+_PIO2_HI = 1.5707963267948966
+_PIO2_LO = 6.123233995736766e-17
+_TWO_OPI = 0.6366197723675814  # 2/pi
+
+_SIN_C = (-1.0 / 6.0, 1.0 / 120.0, -1.0 / 5040.0, 1.0 / 362880.0,
+          -1.0 / 39916800.0, 1.0 / 6227020800.0, -1.0 / 1307674368000.0)
+_COS_C = (-1.0 / 2.0, 1.0 / 24.0, -1.0 / 720.0, 1.0 / 40320.0,
+          -1.0 / 3628800.0, 1.0 / 479001600.0, -1.0 / 87178291200.0)
+
+
+def _sin_kernel(r):
+    r2 = r * r
+    p = jnp.zeros_like(r)
+    for c in reversed(_SIN_C):
+        p = (p + c) * r2
+    return r * (1.0 + p)
+
+
+def _cos_kernel(r):
+    r2 = r * r
+    p = jnp.zeros_like(r)
+    for c in reversed(_COS_C):
+        p = (p + c) * r2
+    return 1.0 + p
+
+
+def _reduce(x):
+    k = jnp.round(x * _TWO_OPI)
+    r = (x - k * _PIO2_HI) - k * _PIO2_LO
+    return r, jnp.asarray(k, jnp.int32) % 4
+
+
+def accurate_sin(x):
+    r, k = _reduce(x)
+    s, c = _sin_kernel(r), _cos_kernel(r)
+    return jnp.choose(k, [s, c, -s, -c], mode="clip")
+
+
+def accurate_cos(x):
+    r, k = _reduce(x)
+    s, c = _sin_kernel(r), _cos_kernel(r)
+    return jnp.choose(k, [c, -s, -c, s], mode="clip")
+
+
+def accurate_atan2(y, x):
+    """f64-accurate atan2: one Newton step on f(t) = sin(t)x - cos(t)y = 0
+    squares the ~1e-8 error of XLA's approximate arctan2."""
+    t = jnp.arctan2(y, x)
+    s, c = accurate_sin(t), accurate_cos(t)
+    return t - (s * x - c * y) / (c * x + s * y)
+
+
+def _taylor_pair(theta2, exact_fn, c0, c1):
+    """where(theta2 small, c0 + c1*theta2, exact_fn(safe_theta)).
+
+    exact_fn receives theta = sqrt(theta2) guarded away from zero so its
+    gradient is finite on the untaken branch.
+    """
+    small = theta2 < _EPS2
+    theta = _safe_sqrt(theta2)
+    return jnp.where(small, c0 + c1 * theta2, exact_fn(theta))
+
+
+def sinc(theta2):
+    """sin(theta)/theta as a function of theta^2."""
+    return _taylor_pair(theta2, lambda t: accurate_sin(t) / t, 1.0, -1.0 / 6.0)
+
+
+def cosc(theta2):
+    """(1 - cos(theta))/theta^2 as a function of theta^2."""
+    return _taylor_pair(
+        theta2, lambda t: (1.0 - accurate_cos(t)) / (t * t), 0.5, -1.0 / 24.0
+    )
+
+
+def sincc(theta2):
+    """(theta - sin(theta))/theta^3 as a function of theta^2."""
+    return _taylor_pair(
+        theta2,
+        lambda t: (t - accurate_sin(t)) / (t * t * t),
+        1.0 / 6.0,
+        -1.0 / 120.0,
+    )
+
+
+def hat(w):
+    """3-vector -> skew-symmetric matrix, hat(w) @ x == cross(w, x)."""
+    zero = jnp.zeros_like(w[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zero, -w[..., 2], w[..., 1]], axis=-1),
+            jnp.stack([w[..., 2], zero, -w[..., 0]], axis=-1),
+            jnp.stack([-w[..., 1], w[..., 0], zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quaternions (w, x, y, z)
+# ---------------------------------------------------------------------------
+
+def quat_identity(dtype=jnp.float64):
+    return jnp.array([1.0, 0.0, 0.0, 0.0], dtype=dtype)
+
+
+def quat_mul(q1, q2):
+    w1, v1 = q1[..., 0], q1[..., 1:]
+    w2, v2 = q2[..., 0], q2[..., 1:]
+    w = w1 * w2 - jnp.sum(v1 * v2, axis=-1)
+    v = (
+        w1[..., None] * v2
+        + w2[..., None] * v1
+        + jnp.cross(v1, v2)
+    )
+    return jnp.concatenate([w[..., None], v], axis=-1)
+
+
+def quat_conj(q):
+    return q * jnp.array([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quat_normalize(q):
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quat_rotate(q, x):
+    """Rotate 3-vector x by unit quaternion q (i.e. R(q) @ x)."""
+    v = q[..., 1:]
+    w = q[..., 0:1]
+    t = 2.0 * jnp.cross(v, x)
+    return x + w * t + jnp.cross(v, t)
+
+
+def quat_to_matrix(q):
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def quat_exp(w3):
+    """Exp: so(3) -> unit quaternion. q = [cos(|w|/2), sinc(|w|/2) * w/2]."""
+    theta2 = jnp.sum(w3 * w3, axis=-1)
+    half2 = theta2 / 4.0
+    c = _taylor_pair(half2, accurate_cos, 1.0, -0.5)  # cos(theta/2)
+    s = sinc(half2)  # sin(theta/2)/(theta/2)
+    return jnp.concatenate(
+        [c[..., None], 0.5 * s[..., None] * w3], axis=-1
+    )
+
+
+def quat_log(q):
+    """Log: unit quaternion -> so(3) 3-vector (angle * axis)."""
+    w = q[..., 0]
+    v = q[..., 1:]
+    # Ensure the shortest path (q and -q are the same rotation).
+    sgn = jnp.where(w < 0, -1.0, 1.0)
+    w = w * sgn
+    v = v * sgn[..., None]
+    n2 = jnp.sum(v * v, axis=-1)
+    n = _safe_sqrt(n2)
+    theta = 2.0 * accurate_atan2(n, w)
+    # scale = theta / sin(theta/2); for small theta, ~ 2 + theta^2/12... use
+    # scale = theta / n where n = sin(theta/2); small-angle: v ~ (theta/2)*axis
+    scale = jnp.where(n2 < _EPS2, 2.0 / jnp.clip(w, 1e-12), theta / n)
+    return scale[..., None] * v
+
+
+def so3_exp(w3):
+    return quat_to_matrix(quat_exp(w3))
+
+
+# ---------------------------------------------------------------------------
+# SE(3): pose = (quat, pos). Twist xi = [omega, v].
+# ---------------------------------------------------------------------------
+
+def se3_exp(xi):
+    """Exp: se(3) -> (quat, pos). p = V(omega) @ v."""
+    w, v = xi[..., :3], xi[..., 3:]
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    W = hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
+    V = eye + cosc(theta2) * W + sincc(theta2) * (W @ W)
+    p = jnp.einsum("...ij,...j->...i", V, v)
+    return quat_exp(w), p
+
+
+def se3_log(q, p):
+    """Log: (quat, pos) -> se(3) twist [omega, v] with v = V(omega)^-1 p."""
+    w = quat_log(q)
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    W = hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), W.shape)
+    # V^-1 = I - W/2 + coef * W^2,  coef = (1 - A/(2B)) / theta^2
+    # with A = sinc(theta), B = cosc(theta); Taylor: 1/12 + theta^2/720.
+    A = sinc(theta2)
+    B = cosc(theta2)
+    coef = jnp.where(
+        theta2 < _EPS2,
+        1.0 / 12.0 + theta2 / 720.0,
+        (1.0 - 0.5 * A / jnp.where(theta2 < _EPS2, 1.0, B))
+        / jnp.where(theta2 < _EPS2, 1.0, theta2),
+    )
+    Vinv = eye - 0.5 * W + coef * (W @ W)
+    v = jnp.einsum("...ij,...j->...i", Vinv, p)
+    return jnp.concatenate([w, v], axis=-1)
+
+
+def se3_compose(q1, p1, q2, p2):
+    """X1 * X2 for poses (R(q), p)."""
+    return quat_mul(q1, q2), p1 + quat_rotate(q1, p2)
+
+
+def se3_inverse(q, p):
+    qi = quat_conj(q)
+    return qi, -quat_rotate(qi, p)
+
+
+def se3_integrate(q, p, xi):
+    """Local integration X' = X * Exp6(xi)."""
+    qe, pe = se3_exp(xi)
+    return se3_compose(q, p, qe, pe)
+
+
+def se3_difference(q0, p0, q1, p1):
+    """Log6(X0^-1 * X1): tangent taking X0 to X1 (local frame)."""
+    qi, pi = se3_inverse(q0, p0)
+    qd, pd = se3_compose(qi, pi, q1, p1)
+    return se3_log(qd, pd)

@@ -1,0 +1,237 @@
+"""Horizon-level Newton update: linearize (vmap) → condense (vmap) →
+Riccati (scan) → expand (vmap) → step.
+
+TPU-native replacement for the reference's solver drivers
+(idocp `solver/ocp_solver.hpp`, `ocp/ocp_linearizer.hpp`,
+`riccati/riccati_direction_calculator.hpp`; SURVEY.md L6, call stack §3.1):
+the whole `updateSolution` is ONE jitted pure function over pytrees; the
+OpenMP stage loop becomes vmap, the serial Riccati sweep becomes lax.scan.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..constraints import pdipm
+from ..ocp import stage as stage_mod
+from ..ocp.condensing import condense, expand_dual
+from ..ocp.data import Solution
+from ..riccati import recursion
+from ..robot import model as model_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class UpdateStats:
+    cost: jnp.ndarray
+    barrier: jnp.ndarray
+    alpha_primal: jnp.ndarray
+    alpha_dual: jnp.ndarray
+    kkt_direction_norm: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    UpdateStats,
+    data_fields=["cost", "barrier", "alpha_primal", "alpha_dual",
+                 "kkt_direction_norm"],
+    meta_fields=[])
+
+
+def _tree_min(x, init=1.0):
+    leaves = jax.tree_util.tree_leaves(x)
+    out = jnp.asarray(init)
+    for l in leaves:
+        if l.size:
+            out = jnp.minimum(out, jnp.min(l))
+    return out
+
+
+def make_update_fn(model, options, linearize_all: Callable,
+                   terminal_fn: Callable, N: int, w_split: int):
+    """Build the one-iteration update function.
+
+    linearize_all(sol, t, q_meas, v_meas) -> StageLin (stacked over N stages)
+    terminal_fn(sol, t) -> (val, l_cond, H, barrier, g_term, Jz_term, l_raw)
+    w_split: dim of the eliminated block w_e (rest of w is the control).
+    """
+    nv = model.nv
+    tau = options.fraction_to_boundary
+
+    def update(sol: Solution, t, q_meas, v_meas, *extra):
+        lin = linearize_all(sol, t, q_meas, v_meas, *extra)
+        (term_val, term_l, term_H, term_barrier, g_term, Jz_term,
+         term_lraw) = terminal_fn(sol, t, *extra)
+
+        cs, Einv = jax.vmap(condense)(
+            lin.quad, lin.E_x, lin.E_we, lin.E_wk, lin.e,
+            lin.F_x, lin.F_w, lin.xres, lin.Cx_raw, lin.Cw_raw, lin.h)
+
+        P, s, pols = recursion.backward_recursion(
+            term_H, term_l, cs, lin.sw_mask,
+            reg=options.riccati_regularization)
+
+        dq0 = model_mod.difference(model, sol.q[0], q_meas)
+        dx0 = jnp.concatenate([dq0, v_meas - sol.v[0]])
+        dx, du, dxi = recursion.forward_rollout(dx0, cs, pols)
+
+        # --- expansion (vmapped over stages)
+        dwe = jax.vmap(lambda c, x, uu: c.Wx @ x + c.Wk @ uu + c.w0)(
+            cs, dx[:-1], du)
+        lam_new = jnp.einsum("kij,kj->ki", P, dx) + s  # (N+1, 2nv)
+        nu_e = jax.vmap(
+            lambda qd, Ei, Fw, x, uu, we, ln, Cw, xi_: expand_dual(
+                qd, Ei, Fw, x, uu, we, ln, Cw, xi_)
+        )(lin.quad, Einv, lin.F_w, dx[:-1], du, dwe, lam_new[1:],
+          lin.Cw_raw, dxi)
+
+        dz = jnp.concatenate([dx[:-1], dwe, du], axis=1)  # (N, nx+nw)
+        # per-component slack/dual expansion + fraction-to-boundary
+        alpha_p = jnp.asarray(1.0, dx.dtype)
+        alpha_d = jnp.asarray(1.0, dx.dtype)
+        ds_all, dnu_all = {}, {}
+        for name in lin.g:
+            g = lin.g[name]
+            Jz = lin.Jz[name]
+            dg = jnp.einsum("kij,kj->ki", Jz, dz)
+            sl, du_ = sol.slack[name][:N], sol.dual[name][:N]
+            ds, dnu = pdipm.expand(g, sl, du_, options.barrier, dg)
+            if name in g_term:
+                dg_t = Jz_term[name] @ dx[-1]
+                ds_t, dnu_t = pdipm.expand(
+                    g_term[name], sol.slack[name][N], sol.dual[name][N],
+                    options.barrier, dg_t)
+            else:
+                ds_t = jnp.zeros_like(sol.slack[name][N])
+                dnu_t = jnp.zeros_like(sol.dual[name][N])
+            ds_full = jnp.concatenate([ds, ds_t[None]], axis=0)
+            dnu_full = jnp.concatenate([dnu, dnu_t[None]], axis=0)
+            ds_all[name] = ds_full
+            dnu_all[name] = dnu_full
+            alpha_p = jnp.minimum(alpha_p, _ftb(sol.slack[name], ds_full,
+                                                tau))
+            alpha_d = jnp.minimum(alpha_d, _ftb(sol.dual[name], dnu_full,
+                                                tau))
+
+        # --- primal/dual update
+        ap, ad = alpha_p, alpha_d
+        q_new = jax.vmap(lambda qq, d: model_mod.integrate(model, qq,
+                                                           ap * d))(
+            sol.q, dx[:, :nv])
+        v_new = sol.v + ap * dx[:, nv:]
+        we_new_split = dwe  # (N, ne)
+        if w_split == nv:  # unconstr: w = (u, a)
+            u_dir, a_dir, f_dir = dwe, du, None
+        else:  # contact: w = (a, f, u)
+            a_dir = dwe[:, :nv]
+            f_dir = dwe[:, nv:]
+            u_dir = du
+        a_new = sol.a + ap * a_dir
+        u_new = sol.u + ap * u_dir
+        f_new = sol.f + ap * f_dir if f_dir is not None else sol.f
+
+        lmd_new = sol.lmd + ap * (lam_new[:, :nv] - sol.lmd)
+        gmm_new = sol.gmm + ap * (lam_new[:, nv:] - sol.gmm)
+        if w_split == nv:
+            beta_new = sol.beta + ap * (nu_e - sol.beta)
+            mu_new = sol.mu
+        else:
+            beta_new = sol.beta + ap * (nu_e[:, :nv] - sol.beta)
+            mu_new = sol.mu + ap * (nu_e[:, nv:] - sol.mu)
+        xi_new = sol.xi + ap * (dxi - sol.xi) if dxi.shape[1] else sol.xi
+
+        slack_new = {k: jnp.maximum(sol.slack[k] + ap * ds_all[k], 1e-12)
+                     for k in sol.slack}
+        dual_new = {k: jnp.maximum(sol.dual[k] + ad * dnu_all[k], 1e-12)
+                    for k in sol.dual}
+
+        new_sol = Solution(
+            q=q_new, v=v_new, a=a_new, f=f_new, u=u_new,
+            lmd=lmd_new, gmm=gmm_new, beta=beta_new, mu=mu_new, xi=xi_new,
+            slack=slack_new, dual=dual_new)
+
+        dirnorm = jnp.sqrt(jnp.sum(dx * dx) + jnp.sum(du * du))
+        stats = UpdateStats(
+            cost=jnp.sum(lin.cost) + term_val,
+            barrier=jnp.sum(lin.barrier) + term_barrier,
+            alpha_primal=ap, alpha_dual=ad,
+            kkt_direction_norm=dirnorm)
+        return new_sol, stats
+
+    return update
+
+
+def _ftb(x, dx, tau):
+    """Fraction-to-boundary max step over a whole array."""
+    ratio = jnp.where(dx < 0, -tau * x / jnp.where(dx < 0, dx, -1.0), 1.0)
+    return jnp.min(ratio) if ratio.size else jnp.asarray(1.0, x.dtype)
+
+
+def make_kkt_error_fn(model, options, linearize_all, terminal_fn, N):
+    """KKT residual norm at the current iterate (reference:
+    OCPSolver::KKTError / computeKKTResidual, SURVEY.md §3.2)."""
+    nv = model.nv
+
+    def kkt_error(sol: Solution, t, q_meas, v_meas, *extra):
+        lin = linearize_all(sol, t, q_meas, v_meas, *extra)
+        (term_val, term_l, term_H, term_barrier, g_term, Jz_term,
+         term_lraw) = terminal_fn(sol, t, *extra)
+
+        lam = jnp.concatenate([sol.lmd, sol.gmm], axis=1)  # (N+1, 2nv)
+        numul = jnp.concatenate([sol.beta, sol.mu], axis=1) \
+            if sol.mu.shape[1] else sol.beta
+
+        def stage_stationarity(l_named, E_named, C_named, F_named, Tx, Tw,
+                               Jz, g, nu_eq, xi_k, lam_next, lam_k, sl, du_):
+            grad_named = l_named + E_named.T @ nu_eq
+            if C_named.shape[0]:
+                grad_named = grad_named + C_named.T @ xi_k
+            grad_named = grad_named + F_named.T @ lam_next
+            st_x = Tx.T @ grad_named - lam_k
+            st_w = Tw.T @ grad_named
+            # inequality-constraint gradient terms (chained Jacobians act on
+            # (x|w); translate back via the same chain matrices):
+            acc = jnp.concatenate([st_x, st_w])
+            for name in Jz:
+                nx = Tx.shape[1]
+                Jx = Jz[name][:, :nx]
+                Jw = Jz[name][:, nx:]
+                nu_in = du_[name]
+                acc = acc + jnp.concatenate([Jx.T @ nu_in, Jw.T @ nu_in])
+            return acc
+
+        mu_dim = sol.mu.shape[1]
+        st = jax.vmap(stage_stationarity)(
+            lin.lnamed, lin.E_named, lin.C_named, lin.F_named, lin.Tx,
+            lin.Tw, lin.Jz, lin.g,
+            numul, sol.xi, lam[1:], lam[:N],
+            {k: sol.slack[k][:N] for k in sol.slack},
+            {k: sol.dual[k][:N] for k in sol.dual})
+
+        err = jnp.sum(st * st)
+        # terminal stationarity
+        st_term = term_lraw - lam[N]
+        for name in g_term:
+            st_term = st_term + Jz_term[name].T @ sol.dual[name][N]
+        err = err + jnp.sum(st_term * st_term)
+        # primal residuals
+        dq0 = model_mod.difference(model, sol.q[0], q_meas)
+        err = err + jnp.sum(dq0 * dq0) + jnp.sum((v_meas - sol.v[0]) ** 2)
+        err = err + jnp.sum(lin.xres * lin.xres)
+        err = err + jnp.sum(lin.e * lin.e)
+        err = err + jnp.sum((lin.sw_mask * lin.h) ** 2)
+        # interior-point residuals
+        for name in lin.g:
+            r_p, r_c = pdipm.residuals(
+                lin.g[name], sol.slack[name][:N], sol.dual[name][:N],
+                options.barrier)
+            err = err + jnp.sum(r_p * r_p) + jnp.sum(r_c * r_c)
+        for name in g_term:
+            r_p, r_c = pdipm.residuals(
+                g_term[name], sol.slack[name][N], sol.dual[name][N],
+                options.barrier)
+            err = err + jnp.sum(r_p * r_p) + jnp.sum(r_c * r_c)
+        return jnp.sqrt(err)
+
+    return kkt_error

@@ -1,0 +1,20 @@
+"""Solver options (reference: ctor args scattered across idocp's
+OCPSolver/Constraints — SURVEY.md §5 'config'; robotoc later consolidated
+these into SolverOptions). One frozen dataclass, hashable, static under jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    barrier: float = 1.0e-4            # interior-point barrier parameter
+    fraction_to_boundary: float = 0.995
+    min_slack: float = 1.0e-4          # slack/dual initialization floor
+    max_iterations: int = 20           # solve() Newton cap
+    kkt_tol: float = 1.0e-7            # solve() convergence threshold
+    riccati_regularization: float = 0.0
+    use_line_search: bool = False
+    line_search_alphas: int = 8        # parallel trial grid size (2^-i)
+    line_search_margin: float = 1.0e-8
