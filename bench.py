@@ -1,0 +1,108 @@
+"""Benchmark: batched ANYmal trotting MPC solves/s on one TPU chip.
+
+Metric matches BASELINE.json ("MPC solves/s/chip, ANYmal trot, N=20"):
+one solve = one warm-started Newton iteration of the whole-body
+trot OCP (exactly what the reference's MPC loop does per control step —
+idocp OCPSolver::updateSolution, SURVEY.md §3.1/§3.3), batched over
+independent scenarios on the chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 10_000 — the north-star target for a whole
+v4-16 slice, so vs_baseline >= 1.0 means a single chip beats the
+slice-level target on its own.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+N_HORIZON = int(os.environ.get("BENCH_N", "20"))
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from idocp_tpu.constraints.components import (
+        FrictionCone, JointTorquesLowerLimit, JointTorquesUpperLimit)
+    from idocp_tpu.cost.components import ConfigurationSpaceCost
+    from idocp_tpu.hybrid.schedule import static_schedule
+    from idocp_tpu.models import anymal
+    from idocp_tpu.parallel.batch import BatchedSolver, batch_solution
+    from idocp_tpu.robot import kinematics
+    from idocp_tpu.robot.contact import ContactModel
+    from idocp_tpu.solver.mpc import TrotGait
+    from idocp_tpu.solver.ocp_solver import OCPSolver
+    from idocp_tpu.solver.options import SolverOptions
+
+    dtype = jnp.float32
+    m = anymal.make_model(dtype=dtype)
+    cm = ContactModel(frame_ids=(0, 1, 2, 3), kp=25.0, kd=10.0)
+    q0 = anymal.standing_configuration(m, dtype=dtype)
+    feet = np.asarray(kinematics.frame_positions(m, q0, (0, 1, 2, 3)))
+
+    cost = [ConfigurationSpaceCost(
+        q_weight=jnp.asarray([0.0] * 3 + [10.0] * 3 + [1.0] * 12, dtype),
+        v_weight=jnp.asarray([1.0] * 18, dtype),
+        a_weight=jnp.asarray([1e-3] * 18, dtype),
+        u_weight=jnp.asarray([1e-2] * 12, dtype),
+        qf_weight=jnp.asarray([0.0] * 3 + [10.0] * 3 + [1.0] * 12, dtype),
+        vf_weight=jnp.asarray([1.0] * 18, dtype),
+        q_ref=q0)]
+    cons = [JointTorquesLowerLimit(m), JointTorquesUpperLimit(m),
+            FrictionCone(m, nc=4, mu=0.7)]
+    options = SolverOptions(barrier=1e-3)
+
+    # representative mid-trot horizon: one touchdown (impulse + switching)
+    # inside the window, diagonal pair swinging before it
+    gait = TrotGait(t_start=0.1)
+    from idocp_tpu.solver.mpc import MPC
+    T = 0.5
+    solver = OCPSolver(m, cm, cost, cons, T=T, N=N_HORIZON,
+                       options=options, dtype=dtype)
+    mpc = MPC(solver, gait, feet)
+    sched = mpc.schedule_at(0.05)  # mid-gait window with events in horizon
+
+    solver.set_solution(q0, jnp.zeros(m.nv, dtype))
+    solver.init_constraints(sched)
+
+    key = jax.random.PRNGKey(0)
+    sol_b = batch_solution(solver.solution, BATCH)
+    q_b = jnp.tile(q0[None], (BATCH, 1))
+    dq = 0.02 * jax.random.normal(key, (BATCH, m.nv), dtype)
+    from idocp_tpu.robot import model as model_mod
+    q_b = jax.vmap(lambda qq, d: model_mod.integrate(m, qq, d))(q_b, dq)
+    v_b = 0.05 * jax.random.normal(jax.random.fold_in(key, 1),
+                                   (BATCH, m.nv), dtype)
+
+    bs = BatchedSolver(solver, extra_axes=(None,))
+
+    # warm-up / compile
+    sol_b, stats = bs.update(sol_b, 0.05, q_b, v_b, sched)
+    jax.block_until_ready(stats.cost)
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        sol_b, stats = bs.update(sol_b, 0.05, q_b, v_b, sched)
+    jax.block_until_ready(stats.cost)
+    wall = time.time() - t0
+
+    solves_per_s = BATCH * ITERS / wall
+    ok = bool(np.isfinite(np.asarray(stats.cost)).all())
+    result = {
+        "metric": "anymal_trot_mpc_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 10000.0, 3),
+    }
+    if not ok:
+        result["warning"] = "non-finite costs in batch"
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

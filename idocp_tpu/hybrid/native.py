@@ -1,0 +1,120 @@
+"""ctypes binding for the native batched schedule discretizer.
+
+Loads native/libidocp_schedule.so (built on demand with `make -C native`)
+and exposes `discretize_batch` over arrays of ContactSequence data. Falls
+back transparently to the pure-Python per-scenario path when the library
+or toolchain is unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+from .schedule import ContactSequence, HorizonSchedule
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libidocp_schedule.so")
+
+_lib = None
+_load_failed = False
+
+
+def _load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    try:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        i64 = ctypes.c_int64
+        dbl = ctypes.c_double
+        p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        p_dbl = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.discretize_batch.argtypes = [
+            i64, i64, i64, p_dbl, dbl, i64, p_i64,
+            p_dbl, p_u8, p_dbl, p_u8, p_dbl, dbl,
+            p_dbl, p_dbl, p_u8, p_dbl, p_u8, p_u8, p_u8, p_dbl,
+        ]
+        lib.discretize_batch.restype = None
+        _lib = lib
+    except Exception:
+        _load_failed = True
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def discretize_batch(sequences: List[ContactSequence], t0, T: float, N: int,
+                     min_dt_frac: float = 0.1, dtype=None,
+                     force_python: bool = False):
+    """Discretize B contact sequences at per-scenario times t0 (B,).
+
+    Returns a HorizonSchedule whose arrays carry a leading batch axis.
+    """
+    import jax.numpy as jnp
+    dtype = dtype or jnp.float64
+    B = len(sequences)
+    nc = sequences[0].nc
+    t0 = np.asarray(t0, np.float64)
+
+    lib = None if force_python else _load()
+    if lib is None:
+        scheds = [seq.discretize(float(t0[b]), T, N, dtype=dtype,
+                                 min_dt_frac=min_dt_frac)
+                  for b, seq in enumerate(sequences)]
+        import jax
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *scheds)
+
+    max_ev = max(1, max(len(s.events) for s in sequences))
+    n_events = np.zeros(B, np.int64)
+    ev_time = np.zeros((B, max_ev), np.float64)
+    ev_active = np.zeros((B, max_ev, nc), np.uint8)
+    ev_pos = np.zeros((B, max_ev, nc, 3), np.float64)
+    init_active = np.zeros((B, nc), np.uint8)
+    init_pos = np.zeros((B, nc, 3), np.float64)
+    for b, s in enumerate(sequences):
+        n_events[b] = len(s.events)
+        for e, ev in enumerate(s.events):
+            ev_time[b, e] = ev.time
+            ev_active[b, e] = ev.active
+            ev_pos[b, e] = ev.position
+        init_active[b] = s._init_active
+        init_pos[b] = s._init_position
+
+    dt = np.zeros((B, N), np.float64)
+    t_off = np.zeros((B, N), np.float64)
+    ca = np.zeros((B, N, nc), np.uint8)
+    cp = np.zeros((B, N, nc, 3), np.float64)
+    im = np.zeros((B, N), np.uint8)
+    ic = np.zeros((B, N, nc), np.uint8)
+    swc = np.zeros((B, N, nc), np.uint8)
+    swp = np.zeros((B, N, nc, 3), np.float64)
+
+    lib.discretize_batch(
+        B, N, nc, t0, float(T), max_ev, n_events,
+        ev_time.reshape(-1), ev_active.reshape(-1), ev_pos.reshape(-1),
+        init_active.reshape(-1), init_pos.reshape(-1), float(min_dt_frac),
+        dt.reshape(-1), t_off.reshape(-1), ca.reshape(-1), cp.reshape(-1),
+        im.reshape(-1), ic.reshape(-1), swc.reshape(-1), swp.reshape(-1))
+
+    return HorizonSchedule(
+        dt=jnp.asarray(dt, dtype), t_offset=jnp.asarray(t_off, dtype),
+        contact_active=jnp.asarray(ca.astype(bool)),
+        contact_pos=jnp.asarray(cp, dtype),
+        imp_mask=jnp.asarray(im.astype(bool)),
+        imp_contact=jnp.asarray(ic.astype(bool)),
+        sw_contact=jnp.asarray(swc.astype(bool)),
+        sw_pos=jnp.asarray(swp, dtype))

@@ -48,21 +48,15 @@ def _tree_min(x, init=1.0):
     return out
 
 
-def make_update_fn(model, options, linearize_all: Callable,
-                   terminal_fn: Callable, N: int, w_split: int):
-    """Build the one-iteration update function.
+def make_direction_fn(model, options, linearize_all: Callable,
+                      terminal_fn: Callable):
+    """Newton-direction computation shared by update and the oracle tests:
+    linearize -> condense -> Riccati -> rollout -> expand-primal."""
 
-    linearize_all(sol, t, q_meas, v_meas) -> StageLin (stacked over N stages)
-    terminal_fn(sol, t) -> (val, l_cond, H, barrier, g_term, Jz_term, l_raw)
-    w_split: dim of the eliminated block w_e (rest of w is the control).
-    """
-    nv = model.nv
-    tau = options.fraction_to_boundary
-
-    def update(sol: Solution, t, q_meas, v_meas, *extra):
+    def direction(sol: Solution, t, q_meas, v_meas, *extra):
         lin = linearize_all(sol, t, q_meas, v_meas, *extra)
-        (term_val, term_l, term_H, term_barrier, g_term, Jz_term,
-         term_lraw) = terminal_fn(sol, t, *extra)
+        term = terminal_fn(sol, t, *extra)
+        term_l, term_H = term[1], term[2]
 
         cs, Einv = jax.vmap(condense)(
             lin.quad, lin.E_x, lin.E_we, lin.E_wk, lin.e,
@@ -75,10 +69,31 @@ def make_update_fn(model, options, linearize_all: Callable,
         dq0 = model_mod.difference(model, sol.q[0], q_meas)
         dx0 = jnp.concatenate([dq0, v_meas - sol.v[0]])
         dx, du, dxi = recursion.forward_rollout(dx0, cs, pols)
-
-        # --- expansion (vmapped over stages)
         dwe = jax.vmap(lambda c, x, uu: c.Wx @ x + c.Wk @ uu + c.w0)(
             cs, dx[:-1], du)
+        return lin, term, cs, Einv, P, s, dx, du, dxi, dwe
+
+    return direction
+
+
+def make_update_fn(model, options, linearize_all: Callable,
+                   terminal_fn: Callable, N: int, w_split: int):
+    """Build the one-iteration update function.
+
+    linearize_all(sol, t, q_meas, v_meas) -> StageLin (stacked over N stages)
+    terminal_fn(sol, t) -> (val, l_cond, H, barrier, g_term, Jz_term, l_raw)
+    w_split: dim of the eliminated block w_e (rest of w is the control).
+    """
+    nv = model.nv
+    tau = options.fraction_to_boundary
+    direction_fn = make_direction_fn(model, options, linearize_all,
+                                     terminal_fn)
+
+    def update(sol: Solution, t, q_meas, v_meas, *extra):
+        (lin, term, cs, Einv, P, s, dx, du, dxi, dwe) = direction_fn(
+            sol, t, q_meas, v_meas, *extra)
+        (term_val, term_l, term_H, term_barrier, g_term, Jz_term,
+         term_lraw) = term
         lam_new = jnp.einsum("kij,kj->ki", P, dx) + s  # (N+1, 2nv)
         nu_e = jax.vmap(
             lambda qd, Ei, Fw, x, uu, we, ln, Cw, xi_: expand_dual(

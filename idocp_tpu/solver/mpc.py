@@ -1,0 +1,79 @@
+"""MPC drivers: gait generation + receding-horizon solving.
+
+Reference: the ANYmal trotting MPC example (idocp `examples/anymal/
+mpc_benchmark.cpp` ⚠, SURVEY.md §3.3): a hand-built ContactSequence of
+touchdown/lift DiscreteEvents with periodic footholds, shifted as the gait
+proceeds, one `update_solution` per control period.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..hybrid.schedule import ContactSequence
+
+# leg index order matches models.anymal: LF, LH, RF, RH
+_PAIR_A = (0, 3)  # LF + RH
+_PAIR_B = (1, 2)  # LH + RF
+
+
+@dataclasses.dataclass
+class TrotGait:
+    """Periodic trot schedule generator for a quadruped with 4 contacts."""
+    swing_time: float = 0.25
+    double_support_time: float = 0.05
+    step_length: float = 0.15
+    step_height: float = 0.1  # used by swing-foot cost references
+    t_start: float = 0.5      # stand still before the first step
+
+    def cycle_time(self):
+        return 2 * (self.swing_time + self.double_support_time)
+
+    def build_sequence(self, feet0: np.ndarray, t0: float, t_end: float
+                       ) -> ContactSequence:
+        """Events covering (t0, t_end]: alternate swing of diagonal pairs.
+        feet0: (4, 3) initial foothold positions."""
+        seq = ContactSequence(4, [True] * 4, feet0.copy())
+        t = self.t_start
+        feet = feet0.copy()
+        pair_a = True
+        half = self.swing_time + self.double_support_time
+        while t < t_end:
+            pair = _PAIR_A if pair_a else _PAIR_B
+            lift_active = np.ones(4, dtype=bool)
+            for i in pair:
+                lift_active[i] = False
+            if t > t0:
+                seq.push_back(t, lift_active, feet.copy())
+            t_td = t + self.swing_time
+            feet = feet.copy()
+            for i in pair:
+                feet[i, 0] += self.step_length
+            if t_td > t0 and t_td <= t_end:
+                seq.push_back(t_td, np.ones(4, dtype=bool), feet.copy())
+            t += half
+            pair_a = not pair_a
+        return seq
+
+
+class MPC:
+    """Receding-horizon wrapper: rebuilds the schedule each control step
+    and performs one warm-started Newton iteration (reference:
+    OCPSolver::updateSolution usage in the MPC loop)."""
+
+    def __init__(self, solver, gait: TrotGait, feet0, t_end=1e9):
+        self.solver = solver
+        self.gait = gait
+        self.feet0 = np.asarray(feet0)
+        self.t_end = t_end
+
+    def schedule_at(self, t):
+        seq = self.gait.build_sequence(self.feet0, t, t + self.solver.T + 1.0)
+        return seq.discretize(t, self.solver.T, self.solver.N,
+                              dtype=self.solver.dtype)
+
+    def step(self, t, q, v):
+        sched = self.schedule_at(t)
+        stats = self.solver.update_solution(t, q, v, sched)
+        return self.solver.solution.u[0], stats

@@ -17,7 +17,7 @@ from ..hybrid.schedule import HorizonSchedule
 from ..ocp import stage as stage_mod
 from ..ocp.data import Solution, zero_solution
 from ..robot.contact import ContactModel
-from .core import make_kkt_error_fn, make_update_fn
+from .core import make_direction_fn, make_kkt_error_fn, make_update_fn
 from .options import SolverOptions
 
 
@@ -69,6 +69,8 @@ class OCPSolver:
             w_split=model.nv + cm.max_dimf))
         self._kkt = jax.jit(make_kkt_error_fn(
             model, options, linearize_all, terminal_fn, N_))
+        self._direction = jax.jit(make_direction_fn(
+            model, options, linearize_all, terminal_fn))
         self._init_constraints = jax.jit(self._make_init_constraints())
         self.solution: Solution = None
 

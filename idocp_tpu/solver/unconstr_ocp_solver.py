@@ -16,7 +16,7 @@ from ..cost.base import EvalContext
 from ..ocp import stage as stage_mod
 from ..ocp.data import Solution, zero_solution
 from ..constraints import pdipm
-from .core import make_kkt_error_fn, make_update_fn
+from .core import make_direction_fn, make_kkt_error_fn, make_update_fn
 from .options import SolverOptions
 
 
@@ -62,6 +62,8 @@ class UnconstrOCPSolver:
             w_split=model.nv))
         self._kkt = jax.jit(make_kkt_error_fn(
             model, options, linearize_all, terminal_fn, N_))
+        self._direction = jax.jit(make_direction_fn(
+            model, options, linearize_all, terminal_fn))
         self._init_constraints = jax.jit(self._make_init_constraints())
         self.solution: Solution = None
 

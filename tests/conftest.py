@@ -13,6 +13,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# Belt and braces: something (a pytest plugin) may import jax before this
+# conftest runs, in which case the env var alone is too late.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

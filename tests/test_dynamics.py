@@ -87,16 +87,18 @@ def test_rnea_derivatives_vs_fd(robot_model):
     f = 5.0 * jnp.ones((len(fids), 3))
     dq, dv, da = dynamics.rnea_derivatives(m, q, v, a, fids, f)
     eps = 1e-6
+    rnea_j = jax.jit(lambda qq, vv, aa: dynamics.rnea(m, qq, vv, aa, fids, f))
+    integ_j = jax.jit(lambda qq, e: model_mod.integrate(m, qq, e))
 
     def idfun(qq, vv, aa):
-        return np.asarray(dynamics.rnea(m, qq, vv, aa, fids, f))
+        return np.asarray(rnea_j(qq, vv, aa))
 
     for i in range(m.nv):
         e = np.zeros(m.nv)
         e[i] = eps
         ej = jnp.asarray(e)
-        fd_q = (idfun(model_mod.integrate(m, q, ej), v, a)
-                - idfun(model_mod.integrate(m, q, -ej), v, a)) / (2 * eps)
+        fd_q = (idfun(integ_j(q, ej), v, a)
+                - idfun(integ_j(q, -ej), v, a)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(dq[:, i]), fd_q, atol=1e-5)
         fd_v = (idfun(q, v + ej, a) - idfun(q, v - ej, a)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(dv[:, i]), fd_v, atol=1e-5)

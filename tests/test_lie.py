@@ -88,11 +88,11 @@ def test_tangent_jacobian_vs_fd(robot_model):
 
     J = model_mod.tangent_jacobian(fn, m, q)
     eps = 1e-6
+    fn_j = jax.jit(lambda e: fn(model_mod.integrate(m, q, e)))
     Jfd = np.zeros((m.nv, m.nv))
     for i in range(m.nv):
         e = np.zeros(m.nv)
         e[i] = eps
-        qp = model_mod.integrate(m, q, jnp.asarray(e))
-        qm = model_mod.integrate(m, q, jnp.asarray(-e))
-        Jfd[:, i] = (np.asarray(fn(qp)) - np.asarray(fn(qm))) / (2 * eps)
+        Jfd[:, i] = (np.asarray(fn_j(jnp.asarray(e)))
+                     - np.asarray(fn_j(jnp.asarray(-e)))) / (2 * eps)
     np.testing.assert_allclose(np.asarray(J), Jfd, atol=1e-6)
