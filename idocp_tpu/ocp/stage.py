@@ -390,6 +390,116 @@ def linearize_unconstr_stage(
     )
 
 
+def evaluate_contact_stage(
+        model: RobotModel, cm: ContactModel, costs, constraints, options,
+        t, dt, q, v, a, f, u, q_next, v_next, slack,
+        contact_active, p_ref, imp_mask, imp_contact,
+        sw_contact, sw_pos, ctx=None):
+    """Value-only stage evaluation for line-search trials (reference:
+    SplitOCP::stageCost + constraintViolation, used by LineSearch;
+    idocp `line_search/line_search.hpp`). Returns
+    (cost + barrier, L1 constraint violation). No Jacobians — cheap
+    enough to vmap over a grid of trial step sizes."""
+    nv, nf, nu = model.nv, cm.max_dimf, model.nu
+    dtype = q.dtype
+
+    # impulse gate (values only)
+    A, Jm, _ = contact_block_matrix(model, cm, q, imp_contact)
+    rhs = jnp.concatenate([jnp.zeros(nv, dtype), -Jm @ v])
+    solv = jnp.linalg.solve(A, rhs)
+    m = imp_mask.astype(dtype)
+    v_eff = v + m * solv[:nv]
+
+    fmask = jnp.repeat(contact_active.astype(dtype), 3)
+    cost = jnp.zeros((), dtype)
+    for c in costs:
+        cost = cost + c.stage(ctx, t, dt, q, v_eff, a, f, u, fmask).value
+
+    barrier = jnp.zeros((), dtype)
+    viol = jnp.zeros((), dtype)
+    for comp in constraints:
+        g, _ = comp.evaluate(ctx, q, v_eff, a, f, u, fmask)
+        s_ = slack[comp.name]
+        barrier = barrier + pdipm.barrier_value(s_, options.barrier)
+        viol = viol + jnp.sum(jnp.abs(g + s_))
+
+    # dynamics equality residuals (ID + Baumgarte)
+    mask3 = fmask
+    S_T = jnp.concatenate(
+        [jnp.zeros((nv - nu, nu), dtype), jnp.eye(nu, dtype=dtype)], axis=0)
+    fm = (mask3 * f).reshape(cm.nc, 3)
+    id_res = dynamics.rnea(model, q, v_eff, a, cm.frame_ids, fm) - S_T @ u
+    acc = kinematics.frame_accelerations(model, q, v_eff, a, cm.frame_ids)
+    vel = kinematics.frame_velocities(model, q, v_eff, cm.frame_ids)
+    pos = kinematics.frame_positions(model, q, cm.frame_ids)
+    baum = (acc + cm.kd * vel + cm.kp * (pos - p_ref)).reshape(3 * cm.nc)
+    baum = mask3 * baum + (1.0 - mask3) * f
+    viol = viol + jnp.sum(jnp.abs(id_res)) + jnp.sum(jnp.abs(baum))
+
+    # state equation residuals
+    qp = model_mod.integrate(model, q, dt * (v_eff + dt * a))
+    rq = model_mod.difference(model, q_next, qp)
+    rv = v_eff + dt * a - v_next
+    viol = viol + jnp.sum(jnp.abs(rq)) + jnp.sum(jnp.abs(rv))
+
+    # switching constraint residual (masked)
+    swm3 = jnp.repeat(sw_contact.astype(dtype), 3)
+    pos_sw = kinematics.frame_positions(model, qp, cm.frame_ids)
+    h = swm3 * (pos_sw - sw_pos).reshape(3 * cm.nc)
+    viol = viol + jnp.sum(jnp.abs(h))
+    return cost + barrier, viol
+
+
+def evaluate_unconstr_stage(
+        model: RobotModel, costs, constraints, options,
+        t, dt, q, v, a, u, q_next, v_next, slack, ctx=None):
+    """Value-only evaluation of one fixed-base stage (line-search trials)."""
+    nv = model.nv
+    dtype = q.dtype
+    f = jnp.zeros((0,), dtype)
+    fmask = jnp.zeros((0,), dtype)
+    cost = jnp.zeros((), dtype)
+    for c in costs:
+        cost = cost + c.stage(ctx, t, dt, q, v, a, f, u, fmask).value
+    barrier = jnp.zeros((), dtype)
+    viol = jnp.zeros((), dtype)
+    for comp in constraints:
+        g, _ = comp.evaluate(ctx, q, v, a, f, u, fmask)
+        s_ = slack[comp.name]
+        barrier = barrier + pdipm.barrier_value(s_, options.barrier)
+        viol = viol + jnp.sum(jnp.abs(g + s_))
+    id_res = dynamics.rnea(model, q, v, a) - u
+    qp = model_mod.integrate(model, q, dt * (v + dt * a))
+    rq = model_mod.difference(model, q_next, qp)
+    rv = v + dt * a - v_next
+    viol = (viol + jnp.sum(jnp.abs(id_res)) + jnp.sum(jnp.abs(rq))
+            + jnp.sum(jnp.abs(rv)))
+    return cost + barrier, viol
+
+
+def evaluate_terminal(model, costs, constraints, options, t, q, v, slack,
+                      ctx=None):
+    """Value-only terminal evaluation (cost + barrier, violation)."""
+    nv = model.nv
+    dtype = q.dtype
+    cost = jnp.zeros((), dtype)
+    for c in costs:
+        cost = cost + c.terminal(ctx, t, q, v).value
+    barrier = jnp.zeros((), dtype)
+    viol = jnp.zeros((), dtype)
+    zf = jnp.zeros((0,), dtype)
+    za = jnp.zeros((nv,), dtype)
+    zu = jnp.zeros((model.nu,), dtype)
+    for comp in constraints:
+        if not comp.is_terminal():
+            continue
+        g, _ = comp.evaluate(ctx, q, v, za, zf, zu, zf)
+        s_ = slack[comp.name]
+        barrier = barrier + pdipm.barrier_value(s_, options.barrier)
+        viol = viol + jnp.sum(jnp.abs(g + s_))
+    return cost + barrier, viol
+
+
 def terminal_quad(model, costs, constraints, options, t, q, v, slack, dual,
                   ctx=None):
     """Terminal-stage quadratic model (reference: ocp/terminal_ocp.hpp),

@@ -1,26 +1,29 @@
 """Horizon-level Newton update: linearize (vmap) → condense (vmap) →
-Riccati (scan) → expand (vmap) → step.
+Riccati (scan) / ParNMPC backward correction → expand (vmap) → step.
 
 TPU-native replacement for the reference's solver drivers
 (idocp `solver/ocp_solver.hpp`, `ocp/ocp_linearizer.hpp`,
-`riccati/riccati_direction_calculator.hpp`; SURVEY.md L6, call stack §3.1):
-the whole `updateSolution` is ONE jitted pure function over pytrees; the
-OpenMP stage loop becomes vmap, the serial Riccati sweep becomes lax.scan.
+`riccati/riccati_direction_calculator.hpp`, `solver/parnmpc_solver.hpp`;
+SURVEY.md L6, call stacks §3.1/§3.4): the whole `updateSolution` is ONE
+jitted pure function over pytrees; the OpenMP stage loop becomes vmap, the
+serial Riccati sweep becomes lax.scan, and the optional filter line search
+evaluates its whole trial grid in one vmapped pass (line_search.py).
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..constraints import pdipm
-from ..ocp import stage as stage_mod
 from ..ocp.condensing import condense, expand_dual
 from ..ocp.data import Solution
 from ..riccati import recursion
 from ..robot import model as model_mod
+from . import line_search as ls_mod
+from .parnmpc import parnmpc_direction
 
 
 @dataclasses.dataclass(frozen=True)
@@ -30,12 +33,13 @@ class UpdateStats:
     alpha_primal: jnp.ndarray
     alpha_dual: jnp.ndarray
     kkt_direction_norm: jnp.ndarray
+    violation: jnp.ndarray
 
 
 jax.tree_util.register_dataclass(
     UpdateStats,
     data_fields=["cost", "barrier", "alpha_primal", "alpha_dual",
-                 "kkt_direction_norm"],
+                 "kkt_direction_norm", "violation"],
     meta_fields=[])
 
 
@@ -77,24 +81,51 @@ def make_direction_fn(model, options, linearize_all: Callable,
 
 
 def make_update_fn(model, options, linearize_all: Callable,
-                   terminal_fn: Callable, N: int, w_split: int):
+                   terminal_fn: Callable, N: int, w_split: int,
+                   evaluate_all: Optional[Callable] = None,
+                   parnmpc_sweeps: Optional[int] = None):
     """Build the one-iteration update function.
 
     linearize_all(sol, t, q_meas, v_meas) -> StageLin (stacked over N stages)
     terminal_fn(sol, t) -> (val, l_cond, H, barrier, g_term, Jz_term, l_raw)
     w_split: dim of the eliminated block w_e (rest of w is the control).
+    evaluate_all(sol, t, q, v, *extra) -> (cost+barrier, L1 violation);
+        enables the filter line search when options.use_line_search.
+    parnmpc_sweeps: if set, use the parallel-in-time backward-correction
+        direction (reference ParNMPCSolver, SURVEY.md §3.4) instead of the
+        serial Riccati recursion.
     """
     nv = model.nv
     tau = options.fraction_to_boundary
-    direction_fn = make_direction_fn(model, options, linearize_all,
-                                     terminal_fn)
 
     def update(sol: Solution, t, q_meas, v_meas, *extra):
-        (lin, term, cs, Einv, P, s, dx, du, dxi, dwe) = direction_fn(
-            sol, t, q_meas, v_meas, *extra)
+        lin = linearize_all(sol, t, q_meas, v_meas, *extra)
+        term = terminal_fn(sol, t, *extra)
         (term_val, term_l, term_H, term_barrier, g_term, Jz_term,
          term_lraw) = term
-        lam_new = jnp.einsum("kij,kj->ki", P, dx) + s  # (N+1, 2nv)
+
+        cs, Einv = jax.vmap(condense)(
+            lin.quad, lin.E_x, lin.E_we, lin.E_wk, lin.e,
+            lin.F_x, lin.F_w, lin.xres, lin.Cx_raw, lin.Cw_raw, lin.h)
+
+        dq0 = model_mod.difference(model, sol.q[0], q_meas)
+        dx0 = jnp.concatenate([dq0, v_meas - sol.v[0]])
+
+        if parnmpc_sweeps is not None:
+            lam = jnp.concatenate([sol.lmd, sol.gmm], axis=1)
+            dx, du, dlam = parnmpc_direction(
+                cs, term_H, term_l, lam, dx0, n_sweeps=parnmpc_sweeps)
+            lam_new = lam + dlam
+            dxi = jnp.zeros((N, cs.h.shape[-1]), dx.dtype)
+        else:
+            P, s, pols = recursion.backward_recursion(
+                term_H, term_l, cs, lin.sw_mask,
+                reg=options.riccati_regularization)
+            dx, du, dxi = recursion.forward_rollout(dx0, cs, pols)
+            lam_new = jnp.einsum("kij,kj->ki", P, dx) + s  # (N+1, 2nv)
+
+        dwe = jax.vmap(lambda c, x, uu: c.Wx @ x + c.Wk @ uu + c.w0)(
+            cs, dx[:-1], du)
         nu_e = jax.vmap(
             lambda qd, Ei, Fw, x, uu, we, ln, Cw, xi_: expand_dual(
                 qd, Ei, Fw, x, uu, we, ln, Cw, xi_)
@@ -129,23 +160,54 @@ def make_update_fn(model, options, linearize_all: Callable,
             alpha_d = jnp.minimum(alpha_d, _ftb(sol.dual[name], dnu_full,
                                                 tau))
 
-        # --- primal/dual update
-        ap, ad = alpha_p, alpha_d
-        q_new = jax.vmap(lambda qq, d: model_mod.integrate(model, qq,
-                                                           ap * d))(
-            sol.q, dx[:, :nv])
-        v_new = sol.v + ap * dx[:, nv:]
-        we_new_split = dwe  # (N, ne)
+        # direction components in primal space
         if w_split == nv:  # unconstr: w = (u, a)
             u_dir, a_dir, f_dir = dwe, du, None
         else:  # contact: w = (a, f, u)
             a_dir = dwe[:, :nv]
             f_dir = dwe[:, nv:]
             u_dir = du
-        a_new = sol.a + ap * a_dir
-        u_new = sol.u + ap * u_dir
-        f_new = sol.f + ap * f_dir if f_dir is not None else sol.f
 
+        def apply_primal(ap) -> Solution:
+            """Trial/final primal + slack step of size ap (duals frozen)."""
+            q_new = jax.vmap(lambda qq, d: model_mod.integrate(
+                model, qq, ap * d))(sol.q, dx[:, :nv])
+            v_new = sol.v + ap * dx[:, nv:]
+            a_new = sol.a + ap * a_dir
+            u_new = sol.u + ap * u_dir
+            f_new = sol.f + ap * f_dir if f_dir is not None else sol.f
+            slack_new = {k: jnp.maximum(sol.slack[k] + ap * ds_all[k], 1e-12)
+                         for k in sol.slack}
+            return dataclasses.replace(
+                sol, q=q_new, v=v_new, a=a_new, f=f_new, u=u_new,
+                slack=slack_new)
+
+        # current-iterate merit pair (cost+barrier, L1 violation)
+        cost0 = (jnp.sum(lin.cost) + term_val + jnp.sum(lin.barrier)
+                 + term_barrier)
+        viol0 = (jnp.sum(jnp.abs(lin.xres)) + jnp.sum(jnp.abs(lin.e))
+                 + jnp.sum(jnp.abs(lin.sw_mask * lin.h))
+                 + jnp.sum(jnp.abs(dq0)) + jnp.sum(jnp.abs(v_meas - sol.v[0])))
+        for name in lin.g:
+            viol0 = viol0 + jnp.sum(
+                jnp.abs(lin.g[name] + sol.slack[name][:N]))
+        for name in g_term:
+            viol0 = viol0 + jnp.sum(
+                jnp.abs(g_term[name] + sol.slack[name][N]))
+
+        if options.use_line_search and evaluate_all is not None:
+            def eval_step(al):
+                return evaluate_all(apply_primal(al), t, q_meas, v_meas,
+                                    *extra)
+            ap, _ = ls_mod.search(
+                eval_step, alpha_p, options.line_search_alphas,
+                cost0, viol0, margin=options.line_search_margin)
+        else:
+            ap = alpha_p
+        ad = alpha_d
+
+        # --- primal/dual update
+        stepped = apply_primal(ap)
         lmd_new = sol.lmd + ap * (lam_new[:, :nv] - sol.lmd)
         gmm_new = sol.gmm + ap * (lam_new[:, nv:] - sol.gmm)
         if w_split == nv:
@@ -156,22 +218,20 @@ def make_update_fn(model, options, linearize_all: Callable,
             mu_new = sol.mu + ap * (nu_e[:, nv:] - sol.mu)
         xi_new = sol.xi + ap * (dxi - sol.xi) if dxi.shape[1] else sol.xi
 
-        slack_new = {k: jnp.maximum(sol.slack[k] + ap * ds_all[k], 1e-12)
-                     for k in sol.slack}
         dual_new = {k: jnp.maximum(sol.dual[k] + ad * dnu_all[k], 1e-12)
                     for k in sol.dual}
 
-        new_sol = Solution(
-            q=q_new, v=v_new, a=a_new, f=f_new, u=u_new,
-            lmd=lmd_new, gmm=gmm_new, beta=beta_new, mu=mu_new, xi=xi_new,
-            slack=slack_new, dual=dual_new)
+        new_sol = dataclasses.replace(
+            stepped, lmd=lmd_new, gmm=gmm_new, beta=beta_new, mu=mu_new,
+            xi=xi_new, dual=dual_new)
 
         dirnorm = jnp.sqrt(jnp.sum(dx * dx) + jnp.sum(du * du))
         stats = UpdateStats(
             cost=jnp.sum(lin.cost) + term_val,
             barrier=jnp.sum(lin.barrier) + term_barrier,
             alpha_primal=ap, alpha_dual=ad,
-            kkt_direction_norm=dirnorm)
+            kkt_direction_norm=dirnorm,
+            violation=viol0)
         return new_sol, stats
 
     return update
@@ -216,7 +276,6 @@ def make_kkt_error_fn(model, options, linearize_all, terminal_fn, N):
                 acc = acc + jnp.concatenate([Jx.T @ nu_in, Jw.T @ nu_in])
             return acc
 
-        mu_dim = sol.mu.shape[1]
         st = jax.vmap(stage_stationarity)(
             lin.lnamed, lin.E_named, lin.C_named, lin.F_named, lin.Tx,
             lin.Tw, lin.Jz, lin.g,

@@ -22,6 +22,10 @@ from .options import SolverOptions
 
 
 class OCPSolver:
+    #: if not None, use the parallel-in-time backward-correction direction
+    #: with this many sweeps (reference ParNMPCSolver; see parnmpc_solver.py)
+    _parnmpc_sweeps = None
+
     def __init__(self, model, contact_model: ContactModel, cost, constraints,
                  T, N, options: SolverOptions = SolverOptions(),
                  dtype=jnp.float64):
@@ -64,9 +68,39 @@ class OCPSolver:
                 {k: v[N_] for k, v in sol.slack.items()},
                 {k: v[N_] for k, v in sol.dual.items()}, ctx)
 
+        def evaluate_all(sol: Solution, t, q_meas, v_meas,
+                         sched: HorizonSchedule):
+            """(cost+barrier, L1 violation) for line-search trials."""
+            ts = t + sched.t_offset
+
+            def one(tk, dtk, qk, vk, ak, fk, uk, qn, vn, sl,
+                    ca, cp, im, ic, swc, swp):
+                return stage_mod.evaluate_contact_stage(
+                    model, cm, self.cost, self.constraints, options,
+                    tk, dtk, qk, vk, ak, fk, uk, qn, vn, sl,
+                    ca, cp, im, ic, swc, swp, ctx)
+
+            c_st, v_st = jax.vmap(one)(
+                ts, sched.dt, sol.q[:N_], sol.v[:N_], sol.a, sol.f, sol.u,
+                sol.q[1:], sol.v[1:],
+                {k: v[:N_] for k, v in sol.slack.items()},
+                sched.contact_active, sched.contact_pos,
+                sched.imp_mask, sched.imp_contact,
+                sched.sw_contact, sched.sw_pos)
+            c_t, v_t = stage_mod.evaluate_terminal(
+                model, self.cost, self.constraints, options,
+                t + self.T, sol.q[N_], sol.v[N_],
+                {k: v[N_] for k, v in sol.slack.items()}, ctx)
+            from ..robot import model as model_mod
+            dq0 = model_mod.difference(model, sol.q[0], q_meas)
+            viol = (jnp.sum(v_st) + v_t + jnp.sum(jnp.abs(dq0))
+                    + jnp.sum(jnp.abs(v_meas - sol.v[0])))
+            return jnp.sum(c_st) + c_t, viol
+
         self._update = jax.jit(make_update_fn(
             model, options, linearize_all, terminal_fn, N_,
-            w_split=model.nv + cm.max_dimf))
+            w_split=model.nv + cm.max_dimf, evaluate_all=evaluate_all,
+            parnmpc_sweeps=self._parnmpc_sweeps))
         self._kkt = jax.jit(make_kkt_error_fn(
             model, options, linearize_all, terminal_fn, N_))
         self._direction = jax.jit(make_direction_fn(

@@ -21,6 +21,10 @@ from .options import SolverOptions
 
 
 class UnconstrOCPSolver:
+    #: if not None, use the parallel-in-time backward-correction direction
+    #: with this many sweeps (reference ParNMPCSolver; see parnmpc_solver.py)
+    _parnmpc_sweeps = None
+
     def __init__(self, model, cost, constraints, T, N,
                  options: SolverOptions = SolverOptions(),
                  dtype=jnp.float64):
@@ -57,9 +61,33 @@ class UnconstrOCPSolver:
                 {k: v[N_] for k, v in sol.slack.items()},
                 {k: v[N_] for k, v in sol.dual.items()}, ctx)
 
+        def evaluate_all(sol: Solution, t, q_meas, v_meas, *extra):
+            """(cost+barrier, L1 violation) for line-search trials."""
+            ts = t + dt * jnp.arange(N_, dtype=dtype)
+
+            def one(tk, qk, vk, ak, uk, qn, vn, sl):
+                return stage_mod.evaluate_unconstr_stage(
+                    model, self.cost, self.constraints, options,
+                    tk, dt, qk, vk, ak, uk, qn, vn, sl, ctx)
+
+            c_st, v_st = jax.vmap(one)(
+                ts, sol.q[:N_], sol.v[:N_], sol.a, sol.u,
+                sol.q[1:], sol.v[1:],
+                {k: v[:N_] for k, v in sol.slack.items()})
+            c_t, v_t = stage_mod.evaluate_terminal(
+                model, self.cost, self.constraints, options,
+                t + self.T, sol.q[N_], sol.v[N_],
+                {k: v[N_] for k, v in sol.slack.items()}, ctx)
+            from ..robot import model as model_mod
+            dq0 = model_mod.difference(model, sol.q[0], q_meas)
+            viol = (jnp.sum(v_st) + v_t + jnp.sum(jnp.abs(dq0))
+                    + jnp.sum(jnp.abs(v_meas - sol.v[0])))
+            return jnp.sum(c_st) + c_t, viol
+
         self._update = jax.jit(make_update_fn(
             model, options, linearize_all, terminal_fn, N_,
-            w_split=model.nv))
+            w_split=model.nv, evaluate_all=evaluate_all,
+            parnmpc_sweeps=self._parnmpc_sweeps))
         self._kkt = jax.jit(make_kkt_error_fn(
             model, options, linearize_all, terminal_fn, N_))
         self._direction = jax.jit(make_direction_fn(

@@ -1,0 +1,37 @@
+"""Solver-state checkpoint / resume (SURVEY.md §5: the reference has no
+checkpointing; its nearest analogue is get/setSolution warm-start state.
+Here the full primal-dual iterate — one pytree — serializes to a single
+.npz, enabling MPC warm-start hand-off and restartable batch runs).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..ocp.data import Solution
+
+_ARRAY_FIELDS = ("q", "v", "a", "f", "u", "lmd", "gmm", "beta", "mu", "xi")
+
+
+def save_solution(path: str, sol: Solution) -> None:
+    """Serialize a Solution (or a batched Solution) to an .npz file."""
+    payload = {name: np.asarray(getattr(sol, name))
+               for name in _ARRAY_FIELDS}
+    for k, v in sol.slack.items():
+        payload[f"slack.{k}"] = np.asarray(v)
+    for k, v in sol.dual.items():
+        payload[f"dual.{k}"] = np.asarray(v)
+    np.savez(path, **payload)
+
+
+def load_solution(path: str, dtype=None) -> Solution:
+    """Load a Solution saved by save_solution."""
+    import jax.numpy as jnp
+    with np.load(path) as data:
+        cast = (lambda x: jnp.asarray(x, dtype)) if dtype is not None \
+            else jnp.asarray
+        kwargs = {name: cast(data[name]) for name in _ARRAY_FIELDS}
+        slack = {k[len("slack."):]: cast(data[k]) for k in data.files
+                 if k.startswith("slack.")}
+        dual = {k[len("dual."):]: cast(data[k]) for k in data.files
+                if k.startswith("dual.")}
+    return Solution(slack=slack, dual=dual, **kwargs)
