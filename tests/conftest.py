@@ -18,6 +18,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: XLA compiles of the jitted solver dominate
+# the suite wall-clock; cache them across test runs (and xdist workers).
+jax.config.update("jax_compilation_cache_dir", "/tmp/idocp_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:  # flag name varies across JAX versions
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
