@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..constraints import pdipm
 from ..ocp.condensing import condense, expand_dual
 from ..ocp.data import Solution
+from ..riccati import parallel as riccati_parallel
 from ..riccati import recursion
 from ..robot import model as model_mod
 from . import line_search as ls_mod
@@ -66,13 +67,17 @@ def make_direction_fn(model, options, linearize_all: Callable,
             lin.quad, lin.E_x, lin.E_we, lin.E_wk, lin.e,
             lin.F_x, lin.F_w, lin.xres, lin.Cx_raw, lin.Cw_raw, lin.h)
 
-        P, s, pols = recursion.backward_recursion(
-            term_H, term_l, cs, lin.sw_mask,
-            reg=options.riccati_regularization)
-
         dq0 = model_mod.difference(model, sol.q[0], q_meas)
         dx0 = jnp.concatenate([dq0, v_meas - sol.v[0]])
-        dx, du, dxi = recursion.forward_rollout(dx0, cs, pols)
+        if options.parallel_riccati:
+            P, s, pols = riccati_parallel.parallel_backward(
+                term_H, term_l, cs, reg=options.riccati_regularization)
+            dx, du, dxi = riccati_parallel.parallel_rollout(dx0, cs, pols)
+        else:
+            P, s, pols = recursion.backward_recursion(
+                term_H, term_l, cs, lin.sw_mask,
+                reg=options.riccati_regularization)
+            dx, du, dxi = recursion.forward_rollout(dx0, cs, pols)
         dwe = jax.vmap(lambda c, x, uu: c.Wx @ x + c.Wk @ uu + c.w0)(
             cs, dx[:-1], du)
         return lin, term, cs, Einv, P, s, dx, du, dxi, dwe
@@ -117,6 +122,11 @@ def make_update_fn(model, options, linearize_all: Callable,
                 cs, term_H, term_l, lam, dx0, n_sweeps=parnmpc_sweeps)
             lam_new = lam + dlam
             dxi = jnp.zeros((N, cs.h.shape[-1]), dx.dtype)
+        elif options.parallel_riccati:
+            P, s, pols = riccati_parallel.parallel_backward(
+                term_H, term_l, cs, reg=options.riccati_regularization)
+            dx, du, dxi = riccati_parallel.parallel_rollout(dx0, cs, pols)
+            lam_new = jnp.einsum("kij,kj->ki", P, dx) + s
         else:
             P, s, pols = recursion.backward_recursion(
                 term_H, term_l, cs, lin.sw_mask,

@@ -15,6 +15,11 @@ class SolverOptions:
     max_iterations: int = 20           # solve() Newton cap
     kkt_tol: float = 1.0e-7            # solve() convergence threshold
     riccati_regularization: float = 0.0
+    # O(log N)-depth associative-scan Riccati (riccati/parallel.py) instead
+    # of the serial lax.scan. Exact, but ignores switching-constraint rows —
+    # only enable on horizons without touchdown events (unconstr fast path,
+    # fixed-stance contact OCPs).
+    parallel_riccati: bool = False
     use_line_search: bool = False
     line_search_alphas: int = 8        # parallel trial grid size (2^-i)
     line_search_margin: float = 1.0e-8
