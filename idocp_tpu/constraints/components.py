@@ -160,10 +160,18 @@ class JointAccelerationLowerLimit(ConstraintComponent):
     def dim(self):
         return self.model.nu
 
+    def _amax(self, dtype):
+        if self.a_max is not None:
+            return self.a_max
+        # no URDF field for acceleration bounds; generous default keeps an
+        # explicitly-added component well-defined (reference ⚠ requires an
+        # explicit vector)
+        return jnp.full(self.model.nu, 1e3, dtype)
+
     def evaluate(self, ctx, q, v, a, f, u, fmask):
         m = self.model
         aj = a[..., m.nv - m.nu:]
-        return -aj - self.a_max, {"a": -_act_selector(m, q.dtype)}
+        return -aj - self._amax(a.dtype), {"a": -_act_selector(m, q.dtype)}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -176,10 +184,12 @@ class JointAccelerationUpperLimit(ConstraintComponent):
     def dim(self):
         return self.model.nu
 
+    _amax = JointAccelerationLowerLimit._amax
+
     def evaluate(self, ctx, q, v, a, f, u, fmask):
         m = self.model
         aj = a[..., m.nv - m.nu:]
-        return aj - self.a_max, {"a": _act_selector(m, q.dtype)}
+        return aj - self._amax(a.dtype), {"a": _act_selector(m, q.dtype)}
 
 
 @dataclasses.dataclass(frozen=True)
