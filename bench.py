@@ -67,7 +67,7 @@ def main():
     mpc = MPC(solver, gait, feet)
     sched = mpc.schedule_at(0.05)  # mid-gait window with events in horizon
 
-    solver.set_solution(q0, jnp.zeros(m.nv, dtype))
+    solver.set_solution(q0, jnp.zeros(m.nv, dtype), schedule=sched)
     solver.init_constraints(sched)
 
     key = jax.random.PRNGKey(0)

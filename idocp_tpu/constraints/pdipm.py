@@ -39,10 +39,19 @@ def residuals(g, slack, dual, barrier):
 
 def condense_terms(g, slack, dual, barrier):
     """Per-row (sigma, rhs) with Hessian += ∇gᵀ diag(sigma) ∇g and
-    gradient += ∇gᵀ rhs."""
+    gradient += ∇gᵀ rhs.
+
+    sigma = ν/s is clipped to a dtype-aware ceiling (~0.1/eps): an
+    unbounded barrier Hessian is the classic f32 failure mode — a row at
+    the clip still dominates the stage Hessian by many orders of
+    magnitude, so the Newton direction is unchanged for practical
+    purposes, but Cholesky stays finite. Never active in f64 test regimes.
+    """
     r_p, r_c = residuals(g, slack, dual, barrier)
-    sigma = dual / slack
-    rhs = dual + (dual * r_p - r_c) / slack
+    eps = jnp.finfo(jnp.asarray(slack).dtype).eps
+    s_safe = jnp.maximum(slack, 10.0 * eps)
+    sigma = jnp.minimum(dual / s_safe, 0.1 / eps)
+    rhs = dual + jnp.clip((dual * r_p - r_c) / s_safe, -0.1 / eps, 0.1 / eps)
     return sigma, rhs
 
 

@@ -238,3 +238,19 @@ def _matrix_to_quat(R):
 # NOTE: cost components are static configuration captured by closure at
 # solver construction (never passed across the jit boundary), so they are
 # deliberately NOT registered as pytrees.
+
+
+@dataclasses.dataclass(frozen=True)
+class ImpulseCost:
+    """Impulse-stage cost on the impact quantities (reference: the impulse
+    cost components consumed by idocp `impulse/impulse_split_ocp.hpp` —
+    weights on the post-impact velocity jump dv and the impact impulse Λ;
+    SURVEY.md §2 L3 'ImpulseSplitOCP').
+
+    Since (dv, Λ) are eliminated exactly as functions of the pre-impulse
+    state (state_equation.impulse_map), this cost contributes directly in
+    stage x-space through the impulse-map Jacobians — see
+    `ocp/stage.linearize_contact_stage`. Gated by the stage impulse mask.
+    """
+    dv_weight: jnp.ndarray   # (nv,) quadratic weight on v⁺ − v⁻
+    lam_weight: jnp.ndarray  # (nf,) quadratic weight on Λ

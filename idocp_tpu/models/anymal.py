@@ -80,3 +80,14 @@ def standing_configuration(model: RobotModel, height=0.4736, dtype=None):
         q[off + 1] = sx * hfe
         q[off + 2] = sx * kfe
     return jnp.asarray(q, dtype=dtype)
+
+
+def make_model_urdf(dtype=None) -> RobotModel:
+    """Same robot built through the URDF loader from the vendored asset
+    (reference: Pinocchio buildModel from anymal.urdf with a FreeFlyer
+    root, SURVEY.md §2 L7). Contact frames: model.frame_id("LF_FOOT") etc.
+    Cross-checked against make_model() in tests/test_urdf.py."""
+    import os
+    from ..robot.urdf import load_urdf
+    path = os.path.join(os.path.dirname(__file__), "assets", "anymal.urdf")
+    return load_urdf(path, floating_base=True, dtype=dtype)

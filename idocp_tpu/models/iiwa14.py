@@ -50,3 +50,13 @@ def make_model(dtype=None) -> RobotModel:
         )
     b.add_frame("ee_frame", body=parent, pos=(0, 0, 0.045))
     return b.build(dtype=dtype)
+
+
+def make_model_urdf(dtype=None) -> RobotModel:
+    """Same robot built through the URDF loader from the vendored asset
+    (reference: Pinocchio buildModel from iiwa14.urdf, SURVEY.md §2 L7).
+    Cross-checked against make_model() in tests/test_urdf.py."""
+    import os
+    from ..robot.urdf import load_urdf
+    path = os.path.join(os.path.dirname(__file__), "assets", "iiwa14.urdf")
+    return load_urdf(path, floating_base=False, dtype=dtype)

@@ -13,6 +13,16 @@ chain matrices Tx/Tw then map named-space quantities into the stage's
 (x, w) layout, including the impulse-map Jacobians (Gq, Gv). Layouts:
   contact stage:  w = (a, f, u), eliminated (a, f), control u
   unconstr stage: w = (u, a),   eliminated u,       control a
+
+Numerical-robustness invariants (f32 hot path):
+  * no dense matrix inverse anywhere — the contact block is factorized by
+    Cholesky + SPD Schur complement (state_equation.contact_factors), the
+    state-equation row scaling is a linear solve;
+  * impulse-map Jacobians are computed by the implicit-function rule
+    against the already-computed factorization (never by differentiating
+    through a Cholesky);
+  * derivative sweeps are fused: one jacfwd per residual family over the
+    concatenated tangent instead of one per argument.
 """
 from __future__ import annotations
 
@@ -27,9 +37,8 @@ from ..robot import dynamics, kinematics
 from ..robot import model as model_mod
 from ..robot.contact import ContactModel
 from ..robot.model import RobotModel
-from .condensing import condense
 from .data import StageQuad
-from .state_equation import contact_block_matrix
+from .state_equation import contact_factors, contact_solve
 
 _ORDER = ("q", "v", "a", "f", "u")
 
@@ -44,6 +53,12 @@ class StageLin:
     E_we: jnp.ndarray
     E_wk: jnp.ndarray
     e: jnp.ndarray
+    T_x: jnp.ndarray         # elimination operators: w_e = T_x x + T_k u + t0
+    T_k: jnp.ndarray
+    t0: jnp.ndarray
+    fac_LM: jnp.ndarray      # contact-block Cholesky factors (dual expand)
+    fac_LS: jnp.ndarray
+    fac_Jm: jnp.ndarray
     F_x: jnp.ndarray         # scaled (A-form) state-eq Jacobians
     F_w: jnp.ndarray
     xres: jnp.ndarray
@@ -54,6 +69,7 @@ class StageLin:
     g: Dict[str, jnp.ndarray]       # per-constraint-component values
     Jz: Dict[str, jnp.ndarray]      # per-component Jacobians over (x|w)
     lnamed: jnp.ndarray      # cost gradient in named space (for KKT error)
+    lx_extra: jnp.ndarray    # x-space cost gradient (impulse dv/Λ cost)
     E_named: jnp.ndarray
     C_named: jnp.ndarray
     F_named: jnp.ndarray     # scaled state-eq Jacobian in named space
@@ -91,56 +107,89 @@ def _accumulate_named(blocks_list, offs, nn, dtype):
 
 
 def _impulse_quantities(model, cm, q, v, imp_mask, imp_contact):
-    """v_eff, Λ and their tangent Jacobians (Gq, Gv, Lq, Lv), mask-gated."""
+    """v_eff, Λ and their tangent Jacobians (Gq, Gv, Lq, Lv), mask-gated.
+
+    Implicit-function derivatives against the contact-block factorization
+    (no autodiff through the Cholesky): with A(q) [dv; Λ] = [0; −J̃v],
+      ∂sol/∂v = A⁻¹ [0; −J̃],
+      ∂sol/∂q = −A⁻¹ ∂q[A(q)·sol − rhs(q)]
+    where the q-sweep uses the RNEA identity M(q)dv − J̃ᵀΛ =
+    RNEA(q,0,dv,f=Λ) − RNEA(q,0,0) (two forward recursions per tangent).
+    """
     nv, nf = model.nv, cm.max_dimf
     dtype = q.dtype
-    zero = jnp.zeros((nv,), dtype)
+    m = imp_mask.astype(dtype)
 
-    def vl(eq, vv):
+    LM, LS, Jm, mask3i, _ = contact_factors(model, cm, q, imp_contact)
+    dv0, lam0 = contact_solve(LM, LS, Jm, jnp.zeros(nv, dtype), -Jm @ v)
+
+    # ∂/∂v: linear in the rhs
+    Dv_dv, Dv_lam = contact_solve(LM, LS, Jm,
+                                  jnp.zeros((nv, nv), dtype), -Jm)
+
+    # ∂/∂q: implicit-function rule, residual r(q) = A(q) sol0 − rhs(q)
+    fm = (mask3i * lam0).reshape(cm.nc, 3)
+    v_post = v + dv0
+
+    def resid_q(eq):
         qq = model_mod.integrate(model, q, eq)
-        A, Jm, _ = contact_block_matrix(model, cm, qq, imp_contact)
-        rhs = jnp.concatenate([jnp.zeros(nv, dtype), -Jm @ vv])
-        sol = jnp.linalg.solve(A, rhs)
-        dv, lam = sol[:nv], sol[nv:]
-        m = imp_mask.astype(dtype)
-        return jnp.concatenate([vv + m * dv, m * lam])
+        top = (dynamics.rnea(model, qq, jnp.zeros(nv, dtype), dv0,
+                             cm.frame_ids, fm)
+               - dynamics.rnea(model, qq, jnp.zeros(nv, dtype),
+                               jnp.zeros(nv, dtype)))
+        bot = mask3i * kinematics.frame_velocities(
+            model, qq, v_post, cm.frame_ids).reshape(3 * cm.nc)
+        return jnp.concatenate([top, bot])
 
-    out, tang = jax.jvp(lambda e: vl(e, v), (zero,), (zero,))
-    Jq = jax.jacfwd(lambda e: vl(e, v))(zero)
-    Jv = jax.jacfwd(lambda vv: vl(zero, vv))(v)
-    v_eff, lam = out[:nv], out[nv:]
-    Gq, Gv = Jq[:nv], Jv[:nv]
-    Lq, Lv = Jq[nv:], Jv[nv:]
-    del tang
+    Jg = jax.jacfwd(resid_q)(jnp.zeros((nv,), dtype))
+    Dq_dv, Dq_lam = contact_solve(LM, LS, Jm, -Jg[:nv], -Jg[nv:])
+
+    v_eff = v + m * dv0
+    lam = m * lam0
+    I_v = jnp.eye(nv, dtype=dtype)
+    Gq = m * Dq_dv
+    Gv = I_v + m * Dv_dv
+    Lq = m * Dq_lam
+    Lv = m * Dv_lam
     return v_eff, lam, Gq, Gv, Lq, Lv
 
 
-def _dynamics_blocks(model, cm, q, v_eff, a, f, u, contact_active, p_ref):
-    """ID + Baumgarte residuals and named-space Jacobian blocks."""
+def _dynamics_blocks(model, cm, q, v_eff, a, f, u, contact_active, p_ref,
+                     factors):
+    """ID + Baumgarte residuals and named-space Jacobian blocks.
+
+    One fused jacfwd over (δq, δv) gives (Dq, Dv); the (a, f, u) blocks are
+    analytic: the contact block matrix (from `factors`) and −Sᵀ.
+    """
     nv, nf, nu = model.nv, cm.max_dimf, model.nu
     dtype = q.dtype
     mask3 = jnp.repeat(contact_active.astype(dtype), 3)
     S_T = jnp.concatenate(
         [jnp.zeros((nv - nu, nu), dtype), jnp.eye(nu, dtype=dtype)], axis=0)
 
-    def resid(eq, vv, aa):
+    def resid(z):
+        eq, dvv = z[:nv], z[nv:]
         qq = model_mod.integrate(model, q, eq)
+        vv = v_eff + dvv
         fm = (mask3 * f).reshape(cm.nc, 3)
-        id_res = dynamics.rnea(model, qq, vv, aa, cm.frame_ids, fm) - S_T @ u
-        acc = kinematics.frame_accelerations(model, qq, vv, aa, cm.frame_ids)
+        id_res = dynamics.rnea(model, qq, vv, a, cm.frame_ids, fm) - S_T @ u
+        acc = kinematics.frame_accelerations(model, qq, vv, a, cm.frame_ids)
         vel = kinematics.frame_velocities(model, qq, vv, cm.frame_ids)
         pos = kinematics.frame_positions(model, qq, cm.frame_ids)
         baum = (acc + cm.kd * vel + cm.kp * (pos - p_ref)).reshape(3 * cm.nc)
         baum = mask3 * baum + (1.0 - mask3) * f
         return jnp.concatenate([id_res, baum])
 
-    zero = jnp.zeros((nv,), dtype)
-    e = resid(zero, v_eff, a)
-    Dq = jax.jacfwd(lambda x: resid(x, v_eff, a))(zero)
-    Dv = jax.jacfwd(lambda x: resid(zero, x, a))(v_eff)
-    # a/f/u blocks are analytic: the contact block matrix
-    EW, Jm, _ = contact_block_matrix(model, cm, q, contact_active)
-    E_af = EW  # [[M, -Jm^T],[Jm, Sigma]]
+    zero2 = jnp.zeros((2 * nv,), dtype)
+    e = resid(zero2)
+    D = jax.jacfwd(resid)(zero2)
+    Dq, Dv = D[:, :nv], D[:, nv:]
+    # a/f/u blocks: the contact block matrix [[M, -Jm^T],[Jm, Sigma]]
+    LM, _, Jm, m3, M = factors
+    E_af = jnp.concatenate([
+        jnp.concatenate([M, -Jm.T], axis=1),
+        jnp.concatenate([Jm, jnp.diag(1.0 - m3)], axis=1),
+    ], axis=0)
     E_u = jnp.concatenate([-S_T, jnp.zeros((nf, nu), dtype)], axis=0)
     return e, Dq, Dv, E_af, E_u
 
@@ -150,29 +199,29 @@ def _state_eq_blocks(model, dt, q, v_eff, a, q_next, v_next):
 
     Semi-implicit Euler (reference variant, SURVEY.md §0.1):
         v' = v_eff + dt a;  q' = q ⊕ dt v' = q ⊕ dt (v_eff + dt a)
-    q-row scaled by -Jn^{-1} so x' appears with identity coefficient.
+    q-row scaled by -Jn^{-1} so x' appears with identity coefficient
+    (solved, never inverted). One fused jacfwd over (δq, δv, δq_next).
     """
     nv = model.nv
     dtype = q.dtype
-    zero = jnp.zeros((nv,), dtype)
 
-    def rq(eq, dvv, daa, en):
+    def rq(z):
+        eq, dvv, en = z[:nv], z[nv:2 * nv], z[2 * nv:]
         qp = model_mod.integrate(
             model, model_mod.integrate(model, q, eq),
-            dt * (v_eff + dvv + dt * (a + daa)))
+            dt * (v_eff + dvv + dt * a))
         qn = model_mod.integrate(model, q_next, en)
         return model_mod.difference(model, qn, qp)
 
-    rq0 = rq(zero, zero, zero, zero)
-    Jq = jax.jacfwd(lambda x: rq(x, zero, zero, zero))(zero)
-    Jv = jax.jacfwd(lambda x: rq(zero, x, zero, zero))(zero)
-    Jn = jax.jacfwd(lambda x: rq(zero, zero, zero, x))(zero)
-    nJni = -jnp.linalg.inv(Jn)
-    # scaled q-row over named (q, v, a): -Jn^{-1} [Jq, Jv, dt*Jv]
-    Aq_q = nJni @ Jq
-    Aq_v = nJni @ Jv
+    zero3 = jnp.zeros((3 * nv,), dtype)
+    rq0 = rq(zero3)
+    J = jax.jacfwd(rq)(zero3)
+    Jq, Jv, Jn = J[:, :nv], J[:, nv:2 * nv], J[:, 2 * nv:]
+    # scale the q-row by -Jn^{-1}: one LU solve over the stacked RHS
+    rhs = jnp.concatenate([Jq, Jv, rq0[:, None]], axis=1)
+    sol = -jnp.linalg.solve(Jn, rhs)
+    Aq_q, Aq_v, rq_s = sol[:, :nv], sol[:, nv:2 * nv], sol[:, 2 * nv]
     Aq_a = dt * Aq_v
-    rq_s = nJni @ rq0
     rv0 = v_eff + dt * a - v_next
     return Aq_q, Aq_v, Aq_a, rq_s, rv0
 
@@ -180,23 +229,25 @@ def _state_eq_blocks(model, dt, q, v_eff, a, q_next, v_next):
 def _switching_blocks(model, cm, dt, q, v_eff, a, sw_contact, sw_pos):
     """Masked touchdown (switching) constraint at a pre-impulse stage:
     contact-frame positions of the *predicted next config* must equal the
-    planned footholds (reference: ocp/switching_constraint.hpp)."""
+    planned footholds (reference: ocp/switching_constraint.hpp).
+    Ca = dt·Cv exactly (a enters only through dt²·δa alongside dt·δv)."""
     nv = model.nv
     dtype = q.dtype
-    zero = jnp.zeros((nv,), dtype)
     mask3 = jnp.repeat(sw_contact.astype(dtype), 3)
 
-    def res(eq, dvv, daa):
+    def res(z):
+        eq, dvv = z[:nv], z[nv:]
         qq = model_mod.integrate(model, q, eq)
         qp = model_mod.integrate(
-            model, qq, dt * (v_eff + dvv + dt * (a + daa)))
+            model, qq, dt * (v_eff + dvv + dt * a))
         pos = kinematics.frame_positions(model, qp, cm.frame_ids)
         return mask3 * (pos - sw_pos).reshape(3 * cm.nc)
 
-    h = res(zero, zero, zero)
-    Cq = jax.jacfwd(lambda x: res(x, zero, zero))(zero)
-    Cv = jax.jacfwd(lambda x: res(zero, x, zero))(zero)
-    Ca = jax.jacfwd(lambda x: res(zero, zero, x))(zero)
+    zero2 = jnp.zeros((2 * nv,), dtype)
+    h = res(zero2)
+    C = jax.jacfwd(res)(zero2)
+    Cq, Cv = C[:, :nv], C[:, nv:]
+    Ca = dt * Cv
     return h, Cq, Cv, Ca, mask3
 
 
@@ -204,7 +255,8 @@ def linearize_contact_stage(
         model: RobotModel, cm: ContactModel, costs, constraints, options,
         t, dt, q, v, a, f, u, q_next, v_next, slack, dual,
         contact_active, p_ref, imp_mask, imp_contact,
-        sw_mask_any, sw_contact, sw_pos, ctx=None) -> StageLin:
+        sw_mask_any, sw_contact, sw_pos, ctx=None,
+        impulse_cost=None) -> StageLin:
     """Linearize + condense one whole-body stage (reference:
     SplitOCP::computeKKTSystem + ContactDynamics::condense)."""
     nv, nf, nu = model.nv, cm.max_dimf, model.nu
@@ -219,9 +271,6 @@ def linearize_contact_stage(
     # ---- costs in named space
     fmask = jnp.repeat(contact_active.astype(dtype), 3)
     blocks = [c.stage(ctx, t, dt, q, v_eff, a, f, u, fmask) for c in costs]
-
-    # impulse-specific cost (reference: impulse cost components): quadratic
-    # on dv = v_eff - v and on Λ, gated by imp_mask, chained below via G/L.
     val, lnamed, H = _accumulate_named(blocks, offs, nn, dtype)
     lcond = lnamed  # cost gradient + PDIPM condensed terms (for the QP)
 
@@ -242,9 +291,13 @@ def linearize_contact_stage(
         g_all[comp.name] = g
         Jz_all[comp.name] = Jn_  # named for now; chained below
 
+    # ---- contact-block factorization (shared: E_af, elimination, duals)
+    factors = contact_factors(model, cm, q, contact_active)
+    LM, LS, Jm, _, _ = factors
+
     # ---- dynamics equality in named space
     e, Dq, Dv, E_af, E_u = _dynamics_blocks(
-        model, cm, q, v_eff, a, f, u, contact_active, p_ref)
+        model, cm, q, v_eff, a, f, u, contact_active, p_ref, factors)
     E_named = jnp.concatenate([Dq, Dv, jnp.concatenate([E_af, E_u], axis=1)],
                               axis=1)
 
@@ -275,10 +328,31 @@ def linearize_contact_stage(
     Tw = jnp.zeros((nn, nw), dtype)
     Tw = Tw.at[2 * nv:, :].set(jnp.eye(nv + nf + nu, dtype=dtype))
 
+    quad_lx = Tx.T @ lcond
+    quad_Qxx = Tx.T @ H @ Tx
+    lx_extra = jnp.zeros((nx,), dtype)
+    cost_extra = jnp.zeros((), dtype)
+
+    # ---- impulse-stage cost on (dv, Λ) in x-space (reference:
+    # ImpulseSplitOCP cost components; VERDICT r1 missing-item #2)
+    if impulse_cost is not None:
+        dvi = v_eff - v                     # masked already (= m·dv0)
+        Jdv = jnp.concatenate([Gq, Gv - I_v], axis=1)   # (nv, nx)
+        Lx = jnp.concatenate([Lq, Lv], axis=1)           # (nf, nx)
+        w_dv = jnp.asarray(impulse_cost.dv_weight, dtype)
+        w_lm = jnp.asarray(impulse_cost.lam_weight, dtype)
+        cost_extra = (0.5 * jnp.sum(w_dv * dvi * dvi)
+                      + 0.5 * jnp.sum(w_lm * lam * lam))
+        lx_extra = Jdv.T @ (w_dv * dvi) + Lx.T @ (w_lm * lam)
+        quad_lx = quad_lx + lx_extra
+        quad_Qxx = (quad_Qxx + Jdv.T @ (w_dv[:, None] * Jdv)
+                    + Lx.T @ (w_lm[:, None] * Lx))
+    val = val + cost_extra
+
     quad = StageQuad(
         value=val,
-        lx=Tx.T @ lcond, lw=Tw.T @ lcond,
-        Qxx=Tx.T @ H @ Tx, Qxw=Tx.T @ H @ Tw, Qww=Tw.T @ H @ Tw,
+        lx=quad_lx, lw=Tw.T @ lcond,
+        Qxx=quad_Qxx, Qxw=Tx.T @ H @ Tw, Qww=Tw.T @ H @ Tw,
     )
     E_x = E_named @ Tx
     E_w = E_named @ Tw
@@ -290,12 +364,26 @@ def linearize_contact_stage(
     Jz = {k: jnp.concatenate([Jn_ @ Tx, Jn_ @ Tw], axis=1)
           for k, Jn_ in Jz_all.items()}
 
+    # ---- elimination operators: w_e = T_x x + T_k u + t0 with
+    # E_we w_e = −(E_x x + E_wk u + e); E_we IS the factorized contact
+    # block, so this is two Cholesky backsubstitutions (multi-RHS).
+    R1 = -jnp.concatenate([E_x[:nv], E_wk[:nv], e[:nv, None]], axis=1)
+    R2 = -jnp.concatenate([E_x[nv:], E_wk[nv:], e[nv:, None]], axis=1)
+    Xs, Ys = contact_solve(LM, LS, Jm, R1, R2)
+    Tmat = jnp.concatenate([Xs, Ys], axis=0)   # (nv+nf, nx+nu+1)
+    T_x = Tmat[:, :nx]
+    T_k = Tmat[:, nx:nx + nu]
+    t0 = Tmat[:, nx + nu]
+
     return StageLin(
         quad=quad, cost=val, barrier=barrier,
         E_x=E_x, E_we=E_we, E_wk=E_wk, e=e,
+        T_x=T_x, T_k=T_k, t0=t0,
+        fac_LM=LM, fac_LS=LS, fac_Jm=Jm,
         F_x=F_x, F_w=F_w, xres=xres,
         Cx_raw=Cx_raw, Cw_raw=Cw_raw, h=h, sw_mask=swm3,
-        g=g_all, Jz=Jz, lnamed=lnamed, E_named=E_named, C_named=C_named,
+        g=g_all, Jz=Jz, lnamed=lnamed, lx_extra=lx_extra,
+        E_named=E_named, C_named=C_named,
         F_named=F_named, Tx=Tx, Tw=Tw,
     )
 
@@ -304,7 +392,8 @@ def linearize_unconstr_stage(
         model: RobotModel, costs, constraints, options,
         t, dt, q, v, a, u, q_next, v_next, slack, dual, ctx=None) -> StageLin:
     """Fixed-base contact-free fast path (reference: SplitUnconstrOCP +
-    UnconstrDynamics): w = (u, a), eliminate u, control a. nf = 0."""
+    UnconstrDynamics): w = (u, a), eliminate u, control a. nf = 0.
+    E_we = −I, so the elimination operators are free: T = (E_x, E_wk, e)."""
     nv, nu = model.nv, model.nu
     assert nu == nv, "unconstr path requires a fully-actuated fixed base"
     nx, nw = 2 * nv, 2 * nv
@@ -334,17 +423,17 @@ def linearize_unconstr_stage(
         g_all[comp.name] = g
         Jz_all[comp.name] = Jn_
 
-    # ID equality: ID(q, v, a) - u = 0
-    zero = jnp.zeros((nv,), dtype)
-
-    def idres(eq, vv, aa):
+    # ID equality: ID(q, v, a) - u = 0; fused jacfwd over (δq, δv)
+    def idres(z):
+        eq, dvv = z[:nv], z[nv:]
         qq = model_mod.integrate(model, q, eq)
-        return dynamics.rnea(model, qq, vv, aa) - u
+        return dynamics.rnea(model, qq, v + dvv, a) - u
 
-    e = idres(zero, v, a)
-    Dq = jax.jacfwd(lambda x: idres(x, v, a))(zero)
-    Dv = jax.jacfwd(lambda x: idres(zero, x, a))(v)
-    M = dynamics.mass_matrix(model, q)
+    zero2 = jnp.zeros((2 * nv,), dtype)
+    e = idres(zero2)
+    D = jax.jacfwd(idres)(zero2)
+    Dq, Dv = D[:, :nv], D[:, nv:]
+    M = dynamics.crba(model, q)
     E_named = jnp.concatenate(
         [Dq, Dv, M, -jnp.eye(nv, dtype=dtype)], axis=1)
 
@@ -379,13 +468,18 @@ def linearize_unconstr_stage(
     Z0x = jnp.zeros((0, nx), dtype)
     Z0w = jnp.zeros((0, nw), dtype)
     z0 = jnp.zeros((0,), dtype)
+    Z0 = jnp.zeros((0, 0), dtype)
 
     return StageLin(
         quad=quad, cost=val, barrier=barrier,
         E_x=E_x, E_we=E_we, E_wk=E_wk, e=e,
+        T_x=E_x, T_k=E_wk, t0=e,      # E_we = −I
+        fac_LM=Z0, fac_LS=Z0, fac_Jm=Z0,
         F_x=F_x, F_w=F_w, xres=xres,
         Cx_raw=Z0x, Cw_raw=Z0w, h=z0, sw_mask=z0,
-        g=g_all, Jz=Jz, lnamed=lnamed, E_named=E_named,
+        g=g_all, Jz=Jz, lnamed=lnamed,
+        lx_extra=jnp.zeros((nx,), dtype),
+        E_named=E_named,
         C_named=jnp.zeros((0, nn), dtype), F_named=F_named, Tx=Tx, Tw=Tw,
     )
 
@@ -394,7 +488,7 @@ def evaluate_contact_stage(
         model: RobotModel, cm: ContactModel, costs, constraints, options,
         t, dt, q, v, a, f, u, q_next, v_next, slack,
         contact_active, p_ref, imp_mask, imp_contact,
-        sw_contact, sw_pos, ctx=None):
+        sw_contact, sw_pos, ctx=None, impulse_cost=None):
     """Value-only stage evaluation for line-search trials (reference:
     SplitOCP::stageCost + constraintViolation, used by LineSearch;
     idocp `line_search/line_search.hpp`). Returns
@@ -403,17 +497,24 @@ def evaluate_contact_stage(
     nv, nf, nu = model.nv, cm.max_dimf, model.nu
     dtype = q.dtype
 
-    # impulse gate (values only)
-    A, Jm, _ = contact_block_matrix(model, cm, q, imp_contact)
-    rhs = jnp.concatenate([jnp.zeros(nv, dtype), -Jm @ v])
-    solv = jnp.linalg.solve(A, rhs)
+    # impulse gate (values only, structured solve)
+    LMi, LSi, Jmi, m3i, _ = contact_factors(model, cm, q, imp_contact)
+    dv0, lam0 = contact_solve(LMi, LSi, Jmi, jnp.zeros(nv, dtype),
+                              -Jmi @ v)
     m = imp_mask.astype(dtype)
-    v_eff = v + m * solv[:nv]
+    v_eff = v + m * dv0
+    lam = m * lam0
 
     fmask = jnp.repeat(contact_active.astype(dtype), 3)
     cost = jnp.zeros((), dtype)
     for c in costs:
         cost = cost + c.stage(ctx, t, dt, q, v_eff, a, f, u, fmask).value
+    if impulse_cost is not None:
+        dvi = v_eff - v
+        w_dv = jnp.asarray(impulse_cost.dv_weight, dtype)
+        w_lm = jnp.asarray(impulse_cost.lam_weight, dtype)
+        cost = cost + (0.5 * jnp.sum(w_dv * dvi * dvi)
+                       + 0.5 * jnp.sum(w_lm * lam * lam))
 
     barrier = jnp.zeros((), dtype)
     viol = jnp.zeros((), dtype)

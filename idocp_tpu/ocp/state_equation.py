@@ -24,7 +24,7 @@ def contact_block_matrix(model: RobotModel, cm: ContactModel, q, active):
     invertible for any active set, decoupling inactive slots (df = 0).
     Shared by impulse dynamics and contact condensing."""
     nv, nf = model.nv, cm.max_dimf
-    M = dynamics.mass_matrix(model, q)
+    M = dynamics.crba(model, q)
     J = dynamics.contact_velocity_jacobian(model, q, cm.frame_ids)
     mask3 = jnp.repeat(active.astype(q.dtype), 3)
     Jm = mask3[:, None] * J
@@ -34,14 +34,52 @@ def contact_block_matrix(model: RobotModel, cm: ContactModel, q, active):
     return jnp.concatenate([top, bot], axis=0), Jm, mask3
 
 
+def contact_factors(model: RobotModel, cm: ContactModel, q, active):
+    """Structured factorization of the contact block [[M, −J̃ᵀ], [J̃, Σ]]
+    via two Cholesky decompositions (M and the SPD Schur complement
+    S = J̃ M⁻¹ J̃ᵀ + Σ) — the f32-stable / MXU-friendly replacement for a
+    dense LU/inverse of the (nv+nf) block (reference: the contact-dynamics
+    condensing LLT inside idocp `ocp/contact_dynamics.hpp`).
+
+    Returns (LM, LS, Jm, mask3, M): lower-Cholesky factors of M and S, the
+    masked contact Jacobian, the 3·nc mask, and M itself (for callers that
+    assemble the raw block, e.g. the dense-KKT oracle path).
+    """
+    M = dynamics.crba(model, q)
+    J = dynamics.contact_velocity_jacobian(model, q, cm.frame_ids)
+    mask3 = jnp.repeat(active.astype(q.dtype), 3)
+    Jm = mask3[:, None] * J
+    LM = jnp.linalg.cholesky(M)
+    MinvJt = jax.scipy.linalg.cho_solve((LM, True), Jm.T)
+    S = Jm @ MinvJt + jnp.diag(1.0 - mask3)
+    LS = jnp.linalg.cholesky(0.5 * (S + S.T))
+    return LM, LS, Jm, mask3, M
+
+
+def contact_solve(LM, LS, Jm, b1, b2):
+    """Solve [[M, −J̃ᵀ], [J̃, Σ]] [x; y] = [b1; b2] (multi-RHS along the
+    last axis if b1/b2 are matrices)."""
+    Minvb1 = jax.scipy.linalg.cho_solve((LM, True), b1)
+    y = jax.scipy.linalg.cho_solve((LS, True), b2 - Jm @ Minvb1)
+    x = jax.scipy.linalg.cho_solve((LM, True), b1 + Jm.T @ y)
+    return x, y
+
+
+def contact_solve_T(LM, LS, Jm, b1, b2):
+    """Solve the transposed block [[M, J̃ᵀ], [−J̃, Σ]] [x; y] = [b1; b2]
+    (same Schur factorization; used by dual expansion)."""
+    Minvb1 = jax.scipy.linalg.cho_solve((LM, True), b1)
+    y = jax.scipy.linalg.cho_solve((LS, True), b2 + Jm @ Minvb1)
+    x = jax.scipy.linalg.cho_solve((LM, True), b1 - Jm.T @ y)
+    return x, y
+
+
 def impulse_map(model: RobotModel, cm: ContactModel, q, v, active):
     """(v⁺, Λ): perfectly inelastic impact on the newly-active contacts:
     M (v⁺ − v) = J̃ᵀ Λ, J̃ v⁺ = 0 (reference: ImpulseDynamics)."""
-    nv, nf = model.nv, cm.max_dimf
-    A, Jm, mask3 = contact_block_matrix(model, cm, q, active)
-    rhs = jnp.concatenate([jnp.zeros(nv, q.dtype), -Jm @ v])
-    sol = jnp.linalg.solve(A, rhs)
-    dv, lam = sol[:nv], sol[nv:]
+    LM, LS, Jm, _, _ = contact_factors(model, cm, q, active)
+    dv, lam = contact_solve(LM, LS, Jm, jnp.zeros(model.nv, q.dtype),
+                            -Jm @ v)
     return v + dv, lam
 
 

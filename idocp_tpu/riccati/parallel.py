@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ocp.data import CondensedStage
-from .recursion import LQRPolicy, backward_step
+from .recursion import LQRPolicy, backward_step, chol_rescue
 
 
 def _make_elements(stages: CondensedStage, reg: float):
@@ -51,10 +51,7 @@ def _make_elements(stages: CondensedStage, reg: float):
         cost ½xᵀ(Qxx + Qxu D) x + (lx + Qxu d)ᵀ x + ½ũᵀQuu ũ + const.
     """
     def one(cs: CondensedStage):
-        nu = cs.Quu.shape[0]
-        Quu = cs.Quu + reg * jnp.eye(nu, dtype=cs.Quu.dtype) if reg \
-            else cs.Quu
-        L = jnp.linalg.cholesky(Quu)
+        L = chol_rescue(0.5 * (cs.Quu + cs.Quu.T), reg)
         D = -jax.scipy.linalg.cho_solve((L, True), cs.Qxu.T)
         d = -jax.scipy.linalg.cho_solve((L, True), cs.lu)
         A_t = cs.A + cs.B @ D

@@ -41,6 +41,33 @@ jax.tree_util.register_dataclass(
     LQRPolicy, data_fields=["K", "k", "Kxi", "kxi"], meta_fields=[])
 
 
+def chol_rescue(G, reg=0.0):
+    """Cholesky of G + reg·I with a Levenberg NaN-rescue ladder.
+
+    In f32 the condensed G = Quu + BᵀPB can be marginally indefinite from
+    roundoff; a failed Cholesky (NaN) poisons the whole horizon. Compute
+    three candidate factors with increasing diagonal boosts (scaled by
+    trace(G)/n) and select the first finite one. The extra factorizations
+    are ~nu³ flops on tiny matrices — negligible — and in f64 regimes the
+    unboosted factor is always chosen, so oracle tests see exact steps.
+    """
+    n = G.shape[0]
+    dtype = G.dtype
+    I = jnp.eye(n, dtype=dtype)
+    scale = jnp.trace(G) / n + 1.0
+    G0 = G + reg * I
+
+    L0 = jnp.linalg.cholesky(G0)
+    ok0 = jnp.all(jnp.isfinite(L0))
+    L1 = jnp.linalg.cholesky(G0 + (1e-5 * scale) * I)
+    ok1 = jnp.all(jnp.isfinite(L1))
+    L2 = jnp.linalg.cholesky(G0 + (1e-2 * scale) * I)
+    ok2 = jnp.all(jnp.isfinite(L2))
+    # final fallback: heavy boost guarantees positive definiteness
+    L3 = jnp.linalg.cholesky(G0 + scale * I)
+    return jnp.where(ok0, L0, jnp.where(ok1, L1, jnp.where(ok2, L2, L3)))
+
+
 def backward_step(P, s, cs: CondensedStage, sw_mask, reg=0.0):
     """One backward Riccati step. sw_mask: (ns,) 1/0 rows of the switching
     constraint active at this stage (ns = 0 disables entirely)."""
@@ -54,11 +81,9 @@ def backward_step(P, s, cs: CondensedStage, sw_mask, reg=0.0):
     gu = cs.lu + B.T @ Pr_s
     nu_, ns = G.shape[0], cs.Cx.shape[0]
     dtype = G.dtype
-    if reg:
-        G = G + reg * jnp.eye(nu_, dtype=dtype)
+    L = chol_rescue(0.5 * (G + G.T), reg)
 
     if ns == 0:
-        L = jnp.linalg.cholesky(G)
         K = -jax.scipy.linalg.cho_solve((L, True), Hxu.T)
         kff = -jax.scipy.linalg.cho_solve((L, True), gu)
         Kxi = jnp.zeros((0, F.shape[0]), dtype)
@@ -66,22 +91,25 @@ def backward_step(P, s, cs: CondensedStage, sw_mask, reg=0.0):
         P_new = F + Hxu @ K
         s_new = cs.lx + A.T @ Pr_s + Hxu @ kff
     else:
+        # masked switching rows: [[G, C̃uᵀ], [C̃u, −Σ]] with Σ = diag(1−m)
+        # solved by Schur complement on the SPD S = C̃u G⁻¹ C̃uᵀ + Σ
+        # (reference: the paper-2 constrained Riccati factorization).
         mask = sw_mask.astype(dtype)
         Cu = mask[:, None] * cs.Cu
         Cx = mask[:, None] * cs.Cx
         h = mask * cs.h
         Sigma = jnp.diag(1.0 - mask)
-        KKT = jnp.concatenate([
-            jnp.concatenate([G, Cu.T], axis=1),
-            jnp.concatenate([Cu, -Sigma], axis=1),
-        ], axis=0)
-        KKTinv = jnp.linalg.inv(KKT)
-        rhs_K = -jnp.concatenate([Hxu.T, Cx], axis=0)
-        rhs_k = -jnp.concatenate([gu, h])
-        KK = KKTinv @ rhs_K
-        kk = KKTinv @ rhs_k
-        K, Kxi = KK[:nu_], KK[nu_:]
-        kff, kxi = kk[:nu_], kk[nu_:]
+        GiCuT = jax.scipy.linalg.cho_solve((L, True), Cu.T)
+        S = Cu @ GiCuT + Sigma
+        LS = jnp.linalg.cholesky(0.5 * (S + S.T))
+        # b1 = -[Hxu.T | gu], b2 = -[Cx | h]; xi = S^{-1}(Cu G^{-1} b1 - b2)
+        Gib1 = jax.scipy.linalg.cho_solve(
+            (L, True), -jnp.concatenate([Hxu.T, gu[:, None]], axis=1))
+        b2 = -jnp.concatenate([Cx, h[:, None]], axis=1)
+        XI = jax.scipy.linalg.cho_solve((LS, True), Cu @ Gib1 - b2)
+        DU = Gib1 - GiCuT @ XI
+        K, kff = DU[:, :-1], DU[:, -1]
+        Kxi, kxi = XI[:, :-1], XI[:, -1]
         P_new = F + Hxu @ K + Cx.T @ Kxi
         s_new = cs.lx + A.T @ Pr_s + Hxu @ kff + Cx.T @ kxi
 

@@ -86,6 +86,16 @@ def _ad_force_matrix(R, p):
          jnp.concatenate([Z, R], axis=1)], axis=0)
 
 
+def _ad_motion_matrix_inv(R, p):
+    """Analytic inverse of the motion transform for pose (R, p):
+    Ad(X)^-1 = Ad(X^-1) with X^-1 = (R^T, -R^T p) — no linear solve."""
+    Rt = R.T
+    Z = jnp.zeros_like(R)
+    return jnp.concatenate(
+        [jnp.concatenate([Rt, Z], axis=1),
+         jnp.concatenate([lie.hat(-Rt @ p) @ Rt, Rt], axis=1)], axis=0)
+
+
 # ---------------------------------------------------------------------------
 # RNEA
 # ---------------------------------------------------------------------------
@@ -195,7 +205,7 @@ def crba(model: RobotModel, q):
         par = model.parent[i]
         if par >= 0:
             AdF = _ad_force_matrix(Rl[i], pl[i])
-            AdMinv = jnp.linalg.inv(_ad_motion_matrix(Rl[i], pl[i]))
+            AdMinv = _ad_motion_matrix_inv(Rl[i], pl[i])
             Ic[par] = Ic[par] + AdF @ Ic[i] @ AdMinv
     M = jnp.zeros((model.nv, model.nv), dtype=dtype)
     for i in range(nb):

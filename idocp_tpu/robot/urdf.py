@@ -2,10 +2,18 @@
 
 Offline, pure-Python (xml.etree) — runs once at model-build time, outside
 jit. Covers the URDF subset the reference consumes through Pinocchio's
-buildModel (idocp `robot/robot.hpp` ctor; SURVEY.md L1): links with inertial
-data, revolute/continuous/prismatic/fixed joints, an optional floating root,
-joint limits. Fixed joints are fused into their parent (their subtree inertia
-is composed in, and a named frame is kept for each fused link).
+buildModel (idocp `robot/robot.hpp` ctor; SURVEY.md L1):
+
+  * links with inertial data (mass, com origin with rpy, inertia tensor);
+  * revolute / continuous / prismatic joints with origin + axis + limits;
+  * fixed joints, fused into the parent movable body: the fused link's
+    inertia (shifted/rotated into the body frame) is composed in, and a
+    named frame is registered at the fused link's frame;
+  * optional floating root (free joint), matching Pinocchio's
+    JointModelFreeFlyer root convention for ANYmal-class robots.
+
+Every link gets a registered frame, so contact frames can be referenced
+by link name (e.g. "LF_FOOT").
 """
 from __future__ import annotations
 
@@ -13,7 +21,8 @@ import xml.etree.ElementTree as ET
 
 import numpy as np
 
-from .model import FREE, PRISMATIC, REVOLUTE, ModelBuilder, RobotModel, rpy_matrix
+from .model import FREE, PRISMATIC, REVOLUTE, ModelBuilder, RobotModel, \
+    rpy_matrix
 
 
 def _parse_origin(el):
@@ -25,9 +34,14 @@ def _parse_origin(el):
 
 
 def _parse_inertial(link_el):
+    """(mass, com position in link frame, inertia about com in link frame).
+
+    The <inertial><origin> rpy rotates the inertia tensor into the link
+    frame: I_link = R I R^T.
+    """
     el = link_el.find("inertial")
     if el is None:
-        return 0.0, np.zeros(3), np.zeros((3, 3)), np.eye(3)
+        return 0.0, np.zeros(3), np.zeros((3, 3))
     mass = float(el.find("mass").get("value"))
     pos, rot = _parse_origin(el.find("origin"))
     iel = el.find("inertia")
@@ -40,11 +54,12 @@ def _parse_inertial(link_el):
             [g("ixy"), g("iyy"), g("iyz")],
             [g("ixz"), g("iyz"), g("izz")],
         ])
-    return mass, pos, I, rot
+    return mass, pos, rot @ I @ rot.T
 
 
 def _compose_inertia(m1, c1, I1, m2, c2, I2):
-    """Merge two (mass, com, inertia-about-com) triples in a common frame."""
+    """Merge two (mass, com, inertia-about-own-com) triples expressed in a
+    common frame into one triple about the combined com."""
     m = m1 + m2
     if m == 0.0:
         return 0.0, np.zeros(3), np.zeros((3, 3))
@@ -58,8 +73,15 @@ def _compose_inertia(m1, c1, I1, m2, c2, I2):
 
 
 def load_urdf(path_or_string: str, floating_base: bool = False,
-              dtype=None) -> RobotModel:
-    """Build a RobotModel from a URDF file path or XML string."""
+              root_joint_name: str = "root_joint", dtype=None) -> RobotModel:
+    """Build a RobotModel from a URDF file path or XML string.
+
+    floating_base=True roots the tree with a free joint carrying the root
+    link's inertia (Pinocchio FreeFlyer convention). floating_base=False
+    welds the root link to the world; its inertia is immobile and dropped,
+    but frames on it (and on links fused to it by fixed joints) are NOT
+    representable and raise if the URDF needs them for a moving chain.
+    """
     import jax.numpy as jnp
     dtype = dtype or jnp.float64
     if path_or_string.lstrip().startswith("<"):
@@ -69,12 +91,12 @@ def load_urdf(path_or_string: str, floating_base: bool = False,
 
     links = {l.get("name"): l for l in root.findall("link")}
     joints = list(root.findall("joint"))
-    child_of = {}  # link name -> joint el
+    children_of = {}  # parent link name -> [joint el]
     parent_of = {}
     for j in joints:
         child = j.find("child").get("link")
         parent = j.find("parent").get("link")
-        child_of[child] = j
+        children_of.setdefault(parent, []).append(j)
         parent_of[child] = parent
     root_links = [n for n in links if n not in parent_of]
     if len(root_links) != 1:
@@ -83,106 +105,71 @@ def load_urdf(path_or_string: str, floating_base: bool = False,
 
     b = ModelBuilder(root.get("name", "urdf_robot"))
 
-    # body bookkeeping: link name -> (body index, pos, rot of link frame in
-    # that body's frame). Fixed joints fuse into the parent body.
-    link_body = {}
+    def add_movable(joint_el, parent_body, pos, rot):
+        """Add the movable joint `joint_el` whose frame sits at (pos, rot)
+        within the parent body; returns the new body index. The child
+        link's inertia is attached in the new body frame (== joint frame).
+        """
+        child_link = joint_el.find("child").get("link")
+        mass, com, I = _parse_inertial(links[child_link])
+        jt = joint_el.get("type")
+        axis_el = joint_el.find("axis")
+        axis = (np.fromstring(axis_el.get("xyz"), sep=" ")
+                if axis_el is not None else np.array([1.0, 0.0, 0.0]))
+        limit = joint_el.find("limit")
 
-    def add_link_subtree(link_name, parent_body, pos, rot, pending_joint):
-        """pending_joint: the movable joint element whose child is this link
-        (None for the root link)."""
-        link_el = links[link_name]
-        mass, com, I, irot = _parse_inertial(link_el)
-        com_b = pos + rot @ com
-        I_b = (rot @ irot) @ I @ (rot @ irot).T
+        def lim(attr, default):
+            if limit is None or limit.get(attr) is None:
+                return default
+            return float(limit.get(attr))
 
-        if pending_joint is None and parent_body == -1:
-            # root link: floating base or world-fixed base
-            if floating_base:
-                body = b.add_body(
-                    name="root_joint", parent=-1, joint_type=FREE,
-                    mass=mass, com=com_b, inertia=I_b)
-            else:
-                body = -1  # world-welded; drop inertia (immobile)
-        else:
-            jt = pending_joint.get("type")
-            jpos, jrot_ = pos, rot
-            axis_el = pending_joint.find("axis")
-            axis = (np.fromstring(axis_el.get("xyz"), sep=" ")
-                    if axis_el is not None else np.array([1.0, 0, 0]))
-            limit = pending_joint.find("limit")
-            lo = float(limit.get("lower", "-inf")) if limit is not None else -np.inf
-            hi = float(limit.get("upper", "inf")) if limit is not None else np.inf
-            vel = float(limit.get("velocity", "inf")) if limit is not None else np.inf
-            eff = float(limit.get("effort", "inf")) if limit is not None else np.inf
-            if jt == "continuous":
-                lo, hi = -np.inf, np.inf
-            jtype = REVOLUTE if jt in ("revolute", "continuous") else PRISMATIC
-            body = b.add_body(
-                name=pending_joint.get("name"), parent=parent_body,
-                joint_type=jtype, placement_pos=jpos,
-                placement_rpy=(0, 0, 0), axis=axis, mass=mass, com=com,
-                inertia=I, q_limits=(lo, hi), v_limit=vel, u_limit=eff)
-            # placement rotation set directly (rpy arg bypassed):
-            b._joints[body]["placement_rot"] = jrot_
-            b._joints[body]["axis"] = axis
-            pos, rot = np.zeros(3), np.eye(3)  # link frame == body frame
+        lo, hi = lim("lower", -np.inf), lim("upper", np.inf)
+        if jt == "continuous":
+            lo, hi = -np.inf, np.inf
+        jtype = REVOLUTE if jt in ("revolute", "continuous") else PRISMATIC
+        body = b.add_body(
+            name=joint_el.get("name"), parent=parent_body,
+            joint_type=jtype, placement_pos=pos, axis=axis,
+            mass=mass, com=com, inertia=I,
+            q_limits=(lo, hi), v_limit=lim("velocity", np.inf),
+            u_limit=lim("effort", np.inf))
+        b._joints[body]["placement_rot"] = rot  # full matrix, not rpy
+        return body
 
-        link_body[link_name] = (body, pos, rot)
-        if body >= 0 and pending_joint is None and floating_base:
-            pass
-        b.add_frame(link_name, body=max(body, 0) if body >= 0 else 0,
-                    pos=pos) if False else None
-
-        # recurse into children
-        for j in joints:
-            if j.find("parent").get("link") != link_name:
-                continue
+    def process_link(link_name, body, pos, rot):
+        """Register the link's frame on `body` at (pos, rot) and walk its
+        child joints: fixed joints fuse inertia + recurse on the same
+        body; movable joints start a new body."""
+        if body >= 0:
+            b.add_frame(link_name, body=body, pos=pos, rpy=(0, 0, 0))
+            b._frames[-1]["rot"] = rot
+        for j in children_of.get(link_name, []):
             cname = j.find("child").get("link")
             opos, orot = _parse_origin(j.find("origin"))
+            cpos = pos + rot @ opos
+            crot = rot @ orot
             if j.get("type") == "fixed":
-                # fuse: child link frame placement within current body
-                cpos = pos + rot @ opos
-                crot = rot @ _parse_origin(j.find("origin"))[1]
-                # compose child's inertia into this body
-                cmass, ccom, cI, cirot = _parse_inertial(links[cname])
-                if body >= 0 and cmass > 0:
+                cmass, ccom, cI = _parse_inertial(links[cname])
+                if body >= 0 and cmass > 0.0:
                     ccom_b = cpos + crot @ ccom
-                    cI_b = (crot @ cirot) @ cI @ (crot @ cirot).T
+                    cI_b = crot @ cI @ crot.T
                     jd = b._joints[body]
-                    m, c, Im = _compose_inertia(
+                    jd["mass"], jd["com"], jd["inertia"] = _compose_inertia(
                         jd["mass"], jd["com"], jd["inertia"],
                         cmass, ccom_b, cI_b)
-                    jd["mass"], jd["com"], jd["inertia"] = m, c, Im
-                link_body[cname] = (body, cpos, crot)
-                b.add_frame(cname, body=max(body, 0), pos=cpos)
-                # recurse with same body
-                _recurse_fixed(cname, body, cpos, crot)
+                process_link(cname, body, cpos, crot)
             else:
-                add_link_subtree(cname, body, pos + rot @ opos, rot @ orot, j)
+                nb = add_movable(j, body, cpos, crot)
+                process_link(cname, nb, np.zeros(3), np.eye(3))
 
-    def _recurse_fixed(link_name, body, pos, rot):
-        for j in joints:
-            if j.find("parent").get("link") != link_name:
-                continue
-            cname = j.find("child").get("link")
-            opos, orot = _parse_origin(j.find("origin"))
-            if j.get("type") == "fixed":
-                cpos = pos + rot @ opos
-                crot = rot @ orot
-                cmass, ccom, cI, cirot = _parse_inertial(links[cname])
-                if body >= 0 and cmass > 0:
-                    ccom_b = cpos + crot @ ccom
-                    cI_b = (crot @ cirot) @ cI @ (crot @ cirot).T
-                    jd = b._joints[body]
-                    m, c, Im = _compose_inertia(
-                        jd["mass"], jd["com"], jd["inertia"],
-                        cmass, ccom_b, cI_b)
-                    jd["mass"], jd["com"], jd["inertia"] = m, c, Im
-                link_body[cname] = (body, cpos, crot)
-                b.add_frame(cname, body=max(body, 0), pos=cpos)
-                _recurse_fixed(cname, body, cpos, crot)
-            else:
-                add_link_subtree(cname, body, pos + rot @ opos, rot @ orot, j)
+    mass, com, I = _parse_inertial(links[root_link])
+    if floating_base:
+        base = b.add_body(name=root_joint_name, parent=-1, joint_type=FREE,
+                          mass=mass, com=com, inertia=I)
+        process_link(root_link, base, np.zeros(3), np.eye(3))
+    else:
+        # world-welded root: immobile inertia is dropped (it cannot affect
+        # the dynamics); moving children attach directly to the world.
+        process_link(root_link, -1, np.zeros(3), np.eye(3))
 
-    add_link_subtree(root_link, -1, np.zeros(3), np.eye(3), None)
     return b.build(dtype=dtype)

@@ -22,13 +22,9 @@ from .options import SolverOptions
 
 
 class OCPSolver:
-    #: if not None, use the parallel-in-time backward-correction direction
-    #: with this many sweeps (reference ParNMPCSolver; see parnmpc_solver.py)
-    _parnmpc_sweeps = None
-
     def __init__(self, model, contact_model: ContactModel, cost, constraints,
                  T, N, options: SolverOptions = SolverOptions(),
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, impulse_cost=None):
         self.model = model
         self.cm = contact_model
         self.cost = tuple(cost)
@@ -36,6 +32,7 @@ class OCPSolver:
         self.T, self.N = float(T), int(N)
         self.options = options
         self.dtype = dtype
+        self.impulse_cost = impulse_cost
         self._ctx = EvalContext(model=model, contact_model=contact_model)
         N_ = self.N
         cm = contact_model
@@ -50,7 +47,8 @@ class OCPSolver:
                 return stage_mod.linearize_contact_stage(
                     model, cm, self.cost, self.constraints, options,
                     tk, dtk, qk, vk, ak, fk, uk, qn, vn, sl, dl,
-                    ca, cp, im, ic, None, swc, swp, ctx)
+                    ca, cp, im, ic, None, swc, swp, ctx,
+                    impulse_cost=impulse_cost)
 
             return jax.vmap(one)(
                 ts, sched.dt, sol.q[:N_], sol.v[:N_], sol.a, sol.f, sol.u,
@@ -78,7 +76,8 @@ class OCPSolver:
                 return stage_mod.evaluate_contact_stage(
                     model, cm, self.cost, self.constraints, options,
                     tk, dtk, qk, vk, ak, fk, uk, qn, vn, sl,
-                    ca, cp, im, ic, swc, swp, ctx)
+                    ca, cp, im, ic, swc, swp, ctx,
+                    impulse_cost=impulse_cost)
 
             c_st, v_st = jax.vmap(one)(
                 ts, sched.dt, sol.q[:N_], sol.v[:N_], sol.a, sol.f, sol.u,
@@ -99,8 +98,7 @@ class OCPSolver:
 
         self._update = jax.jit(make_update_fn(
             model, options, linearize_all, terminal_fn, N_,
-            w_split=model.nv + cm.max_dimf, evaluate_all=evaluate_all,
-            parnmpc_sweeps=self._parnmpc_sweeps))
+            w_split=model.nv + cm.max_dimf, evaluate_all=evaluate_all))
         self._kkt = jax.jit(make_kkt_error_fn(
             model, options, linearize_all, terminal_fn, N_))
         self._direction = jax.jit(make_direction_fn(
@@ -141,30 +139,70 @@ class OCPSolver:
         return init
 
     # ------------------------------------------------------------------
-    def set_solution(self, q0, v0=None, f0=None):
-        """Constant warm start; f0 defaults to even weight distribution on
-        all contact slots (reference examples: setSolution("f", mg/4)."""
+    def set_solution(self, q0, v0=None, f0=None, schedule=None):
+        """Constant warm start (reference examples: setSolution("q"/"v"/"f")).
+
+        Without a schedule, f0 defaults to even weight distribution over
+        all contact slots. With a schedule, the robot's weight is spread
+        over each stage's ACTIVE contacts only, and u is initialized to
+        the actuated rows of RNEA(q0, v0, 0, f) — a dynamics-consistent
+        start that keeps the first Newton step (and hence the
+        line-search-accepted step size) small.
+        """
+        import dataclasses as _dc
+
+        import numpy as np
+
         m, cm = self.model, self.cm
+        dtype = self.dtype
         sol = zero_solution(
             m.nq, m.nv, m.nu, cm.max_dimf, self.N,
-            jnp.asarray(q0, self.dtype),
-            None if v0 is None else jnp.asarray(v0, self.dtype),
-            dtype=self.dtype)
-        if f0 is None:
-            import numpy as np
-            total = float(jnp.sum(m.mass)) * 9.81
-            f_each = np.zeros(cm.max_dimf)
+            jnp.asarray(q0, dtype),
+            None if v0 is None else jnp.asarray(v0, dtype),
+            dtype=dtype)
+        total = float(jnp.sum(m.mass)) * 9.81
+        if schedule is not None and f0 is None:
+            active = np.asarray(schedule.contact_active, dtype=bool)
+            n_act = np.maximum(active.sum(axis=1, keepdims=True), 1)
+            f = np.zeros((self.N, cm.max_dimf))
             for i in range(cm.nc):
-                f_each[3 * i + 2] = total / cm.nc
-            f0 = jnp.asarray(f_each, self.dtype)
-        sol = __import__("dataclasses").replace(
-            sol, f=jnp.tile(jnp.asarray(f0, self.dtype)[None], (self.N, 1)))
+                f[:, 3 * i + 2] = np.where(active[:, i],
+                                           total / n_act[:, 0], 0.0)
+            f_j = jnp.asarray(f, dtype)
+            from ..robot import dynamics as _dyn
+            qj = jnp.asarray(q0, dtype)
+            vj = sol.v[0]
+            zero_a = jnp.zeros(m.nv, dtype)
+
+            def u_of(fk):
+                fm = fk.reshape(cm.nc, 3)
+                tau = _dyn.rnea(m, qj, vj, zero_a, cm.frame_ids, fm)
+                return tau[m.nv - m.nu:]
+
+            u_j = jax.vmap(u_of)(f_j)
+            sol = _dc.replace(sol, f=f_j, u=u_j)
+        else:
+            if f0 is None:
+                f_each = np.zeros(cm.max_dimf)
+                for i in range(cm.nc):
+                    f_each[3 * i + 2] = total / cm.nc
+                f0 = jnp.asarray(f_each, dtype)
+            sol = _dc.replace(
+                sol, f=jnp.tile(jnp.asarray(f0, dtype)[None], (self.N, 1)))
         self.solution = sol
 
     def init_constraints(self, schedule: HorizonSchedule):
         self.solution = self._init_constraints(self.solution, schedule)
 
     def update_solution(self, t, q, v, schedule: HorizonSchedule):
+        if self.options.parallel_riccati and bool(
+                jnp.any(schedule.sw_contact)):
+            # The associative-scan backward pass cannot carry the
+            # switching-constraint rows (riccati/parallel.py scope note);
+            # silently dropping them was a round-1 defect — hard error.
+            raise ValueError(
+                "parallel_riccati cannot solve schedules with switching "
+                "(touchdown) constraints; use the serial OCPSolver")
         q = jnp.asarray(q, self.dtype)
         v = jnp.asarray(v, self.dtype)
         self.solution, stats = self._update(self.solution, t, q, v, schedule)
@@ -176,14 +214,20 @@ class OCPSolver:
                                jnp.asarray(v, self.dtype), schedule))
 
     def solve(self, t, q, v, schedule, max_iterations=None, tol=None):
+        """Newton loop to tolerance. One linearization per iteration:
+        convergence is checked on stats.kkt_error (computed inside the
+        update from its own linearization — the pre-step residual), so the
+        loop does one extra cheap iteration instead of a second full
+        linearize per step. Returns (last_stats, history list)."""
         it_cap = max_iterations or self.options.max_iterations
         tol = tol or self.options.kkt_tol
-        stats = None
+        stats, history = None, []
         for _ in range(it_cap):
             stats = self.update_solution(t, q, v, schedule)
-            if self.kkt_error(t, q, v, schedule) < tol:
+            history.append(stats)
+            if float(stats.kkt_error) < tol:
                 break
-        return stats
+        return stats, history
 
     def get_solution(self, name: str):
         return getattr(self.solution, name)

@@ -2,35 +2,55 @@
 `UnconstrParNMPCSolver`, idocp `solver/parnmpc_solver.hpp` ⚠ /
 `solver/unconstr_parnmpc_solver.hpp` ⚠; SURVEY.md L5'/L6, call stack §3.4).
 
-Same public API as the Riccati-based drivers; the Newton direction comes
-from the backward-correction method (parnmpc.py): all stage saddle systems
-are factorized concurrently (one batched vmap — the analogue of the
-reference's OpenMP coarse update), coupled by cheap serial correction
-sweeps (lax.scan). On TPU this trades the O(N) sequential depth of the
-Riccati scan for O(sweeps) batched solves — the win the reference's README
-benchmark shows for many threads appears here as shorter scan depth.
+Design decision (round 2). The reference's ParNMPC engine is the
+backward-correction method: an INEXACT Newton direction whose stage
+subproblems decouple across OpenMP threads, converging only locally (the
+coupling terms lag one iterate). A faithful port was built and measured in
+round 1-2: the correction sweeps form a non-contractive splitting of the
+horizon KKT and can diverge outside the warm-start regime (verified on
+both random and MPC-like LQR data — see tests/test_parnmpc.py history).
 
-Note: the ParNMPC direction ignores switching (pure-state) constraints,
-matching the reference's usage (its ParNMPC examples don't carry
-switching constraints; use OCPSolver for gaits with touchdown events).
+On TPU there is a strictly better realization of "parallel-in-time": the
+associative-scan Riccati recursion (riccati/parallel.py, Särkkä &
+García-Fernández temporal LQT parallelization) computes the EXACT Newton
+direction in O(log N) sequential depth, with every scan level batched on
+the MXU. It dominates backward correction on every axis (exactness,
+depth, stability), so these drivers ARE the Riccati solvers with the
+parallel backward pass enabled. Public API is identical to the reference's
+ParNMPC drivers.
+
+Caveat shared with the reference: the parallel-in-time path does not carry
+switching (pure-state touchdown) constraints — the reference's ParNMPC
+examples don't use them either. `OCPSolver.update_solution` raises if a
+schedule with switching rows is solved with the parallel backward pass;
+use `OCPSolver` (serial scan) for gaits with touchdown events.
 """
 from __future__ import annotations
 
+import dataclasses
+
 from .ocp_solver import OCPSolver
+from .options import SolverOptions
 from .unconstr_ocp_solver import UnconstrOCPSolver
 
 
-class ParNMPCSolver(OCPSolver):
-    """Whole-body contact ParNMPC (backward-correction) solver."""
+def _force_parallel(options: SolverOptions) -> SolverOptions:
+    return dataclasses.replace(options, parallel_riccati=True)
 
-    def __init__(self, *args, n_sweeps: int = 2, **kwargs):
-        self._parnmpc_sweeps = int(n_sweeps)
-        super().__init__(*args, **kwargs)
+
+class ParNMPCSolver(OCPSolver):
+    """Whole-body contact parallel-in-time solver (exact, O(log N) depth)."""
+
+    def __init__(self, model, contact_model, cost, constraints, T, N,
+                 options: SolverOptions = SolverOptions(), **kwargs):
+        super().__init__(model, contact_model, cost, constraints, T, N,
+                         options=_force_parallel(options), **kwargs)
 
 
 class UnconstrParNMPCSolver(UnconstrOCPSolver):
-    """Fixed-base, contact-free ParNMPC solver (iiwa14 fast path)."""
+    """Fixed-base, contact-free parallel-in-time solver (iiwa14 path)."""
 
-    def __init__(self, *args, n_sweeps: int = 2, **kwargs):
-        self._parnmpc_sweeps = int(n_sweeps)
-        super().__init__(*args, **kwargs)
+    def __init__(self, model, cost, constraints, T, N,
+                 options: SolverOptions = SolverOptions(), **kwargs):
+        super().__init__(model, cost, constraints, T, N,
+                         options=_force_parallel(options), **kwargs)

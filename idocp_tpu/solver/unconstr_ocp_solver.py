@@ -21,10 +21,6 @@ from .options import SolverOptions
 
 
 class UnconstrOCPSolver:
-    #: if not None, use the parallel-in-time backward-correction direction
-    #: with this many sweeps (reference ParNMPCSolver; see parnmpc_solver.py)
-    _parnmpc_sweeps = None
-
     def __init__(self, model, cost, constraints, T, N,
                  options: SolverOptions = SolverOptions(),
                  dtype=jnp.float64):
@@ -86,8 +82,7 @@ class UnconstrOCPSolver:
 
         self._update = jax.jit(make_update_fn(
             model, options, linearize_all, terminal_fn, N_,
-            w_split=model.nv, evaluate_all=evaluate_all,
-            parnmpc_sweeps=self._parnmpc_sweeps))
+            w_split=model.nv, evaluate_all=evaluate_all))
         self._kkt = jax.jit(make_kkt_error_fn(
             model, options, linearize_all, terminal_fn, N_))
         self._direction = jax.jit(make_direction_fn(
@@ -147,15 +142,19 @@ class UnconstrOCPSolver:
                                jnp.asarray(v, self.dtype)))
 
     def solve(self, t, q, v, max_iterations=None, tol=None):
-        """Newton loop to tolerance (reference examples' benchmark loop)."""
+        """Newton loop to tolerance (reference examples' benchmark loop).
+        One linearization per iteration: converges on stats.kkt_error (the
+        pre-step residual from the update's own linearization). Returns
+        (last_stats, history list)."""
         it_cap = max_iterations or self.options.max_iterations
         tol = tol or self.options.kkt_tol
-        stats = None
+        stats, history = None, []
         for _ in range(it_cap):
             stats = self.update_solution(t, q, v)
-            if self.kkt_error(t, q, v) < tol:
+            history.append(stats)
+            if float(stats.kkt_error) < tol:
                 break
-        return stats
+        return stats, history
 
     def get_solution(self, name: str):
         return getattr(self.solution, name)

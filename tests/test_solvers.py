@@ -1,0 +1,141 @@
+"""Solver-level convergence tests (reference pattern: the examples double
+as convergence tests, SURVEY.md §4.6; VERDICT r1 missing-item #4).
+
+Covers: iiwa14 unconstrained (f64 + f32), ANYmal standing (contact path),
+and the flagship batched f32 ANYmal trot MPC fragment (impulse + switching
+stages) — finite costs and decreasing KKT error at fixed iteration budget.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from idocp_tpu.constraints.components import (FrictionCone,
+                                              JointTorquesLowerLimit,
+                                              JointTorquesUpperLimit)
+from idocp_tpu.cost.components import ConfigurationSpaceCost, ImpulseCost
+from idocp_tpu.hybrid.schedule import static_schedule
+from idocp_tpu.models import anymal, iiwa14
+from idocp_tpu.robot import kinematics
+from idocp_tpu.robot import model as model_mod
+from idocp_tpu.robot.contact import ContactModel
+from idocp_tpu.solver.ocp_solver import OCPSolver
+from idocp_tpu.solver.options import SolverOptions
+from idocp_tpu.solver.unconstr_ocp_solver import UnconstrOCPSolver
+
+
+def _iiwa_solver(m, dtype, N=8):
+    cost = [ConfigurationSpaceCost(
+        q_weight=10.0 * jnp.ones(m.nv, dtype),
+        v_weight=0.1 * jnp.ones(m.nv, dtype),
+        a_weight=0.01 * jnp.ones(m.nv, dtype),
+        u_weight=0.001 * jnp.ones(m.nu, dtype),
+        qf_weight=10.0 * jnp.ones(m.nv, dtype),
+        vf_weight=1.0 * jnp.ones(m.nv, dtype),
+        q_ref=jnp.asarray(0.5 * np.ones(m.nq), dtype))]
+    cons = [JointTorquesLowerLimit(m), JointTorquesUpperLimit(m)]
+    return UnconstrOCPSolver(m, cost, cons, T=0.8, N=N,
+                             options=SolverOptions(barrier=1e-3),
+                             dtype=dtype)
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float64, 1e-6),
+                                       (jnp.float32, 5e-2)])
+def test_iiwa_unconstr_converges(dtype, tol):
+    m = iiwa14.make_model(dtype=dtype)
+    solver = _iiwa_solver(m, dtype)
+    q0 = jnp.asarray(0.1 * np.ones(m.nq), dtype)
+    v0 = jnp.zeros(m.nv, dtype)
+    solver.set_solution(q0, v0)
+    solver.init_constraints()
+    stats, history = solver.solve(0.0, q0, v0, max_iterations=25, tol=tol)
+    errs = [float(s.kkt_error) for s in history]
+    assert np.all(np.isfinite(errs))
+    assert errs[-1] < tol, f"KKT history: {errs}"
+    # overall decrease by orders of magnitude
+    assert errs[-1] < 1e-3 * errs[0]
+
+
+def test_anymal_standing_converges(anymal):
+    m = anymal
+    dtype = jnp.float64
+    cm = ContactModel(frame_ids=(0, 1, 2, 3), kp=25.0, kd=10.0)
+    q0 = anymal_standing = __import__(
+        "idocp_tpu.models.anymal", fromlist=["standing_configuration"]
+    ).standing_configuration(m)
+    feet = np.asarray(kinematics.frame_positions(m, q0, (0, 1, 2, 3)))
+    cost = [ConfigurationSpaceCost(
+        q_weight=jnp.asarray([0.0] * 3 + [10.0] * 3 + [1.0] * 12, dtype),
+        v_weight=jnp.ones(m.nv, dtype),
+        a_weight=1e-3 * jnp.ones(m.nv, dtype),
+        u_weight=1e-2 * jnp.ones(m.nu, dtype),
+        qf_weight=jnp.asarray([0.0] * 3 + [10.0] * 3 + [1.0] * 12, dtype),
+        vf_weight=jnp.ones(m.nv, dtype), q_ref=q0)]
+    cons = [JointTorquesLowerLimit(m), JointTorquesUpperLimit(m),
+            FrictionCone(m, nc=4, mu=0.7)]
+    N = 4
+    sched = static_schedule(4, N, 0.02, [True] * 4, feet)
+    solver = OCPSolver(m, cm, cost, cons, T=0.08, N=N,
+                       options=SolverOptions(barrier=1e-3))
+    solver.set_solution(q0, jnp.zeros(m.nv))
+    solver.init_constraints(sched)
+    stats, history = solver.solve(0.0, q0, jnp.zeros(m.nv), sched,
+                                  max_iterations=15, tol=1e-6)
+    errs = [float(s.kkt_error) for s in history]
+    assert np.all(np.isfinite(errs))
+    assert errs[-1] < 1e-4 * errs[0], f"KKT history: {errs}"
+
+
+def test_anymal_trot_f32_batched():
+    """The flagship config (BASELINE #4/#5): batched f32 whole-body trot
+    MPC with an impulse + switching event in the horizon. VERDICT r1
+    'done' criterion: N=20, >=32 scenarios, >=10 warm-started steps,
+    finite costs, decreasing KKT error."""
+    from idocp_tpu.parallel.batch import BatchedSolver, batch_solution
+    from idocp_tpu.solver.mpc import MPC, TrotGait
+
+    dtype = jnp.float32
+    m = anymal.make_model(dtype=dtype)
+    cm = ContactModel(frame_ids=(0, 1, 2, 3), kp=25.0, kd=10.0)
+    q0 = anymal.standing_configuration(m, dtype=dtype)
+    feet = np.asarray(kinematics.frame_positions(m, q0, (0, 1, 2, 3)))
+    cost = [ConfigurationSpaceCost(
+        q_weight=jnp.asarray([0.0] * 3 + [10.0] * 3 + [1.0] * 12, dtype),
+        v_weight=jnp.ones(m.nv, dtype),
+        a_weight=1e-3 * jnp.ones(m.nv, dtype),
+        u_weight=1e-2 * jnp.ones(m.nu, dtype),
+        qf_weight=jnp.asarray([0.0] * 3 + [10.0] * 3 + [1.0] * 12, dtype),
+        vf_weight=jnp.ones(m.nv, dtype), q_ref=q0)]
+    cons = [JointTorquesLowerLimit(m), JointTorquesUpperLimit(m),
+            FrictionCone(m, nc=4, mu=0.7)]
+    imp = ImpulseCost(dv_weight=1.0 * jnp.ones(m.nv, dtype),
+                      lam_weight=1e-3 * jnp.ones(cm.max_dimf, dtype))
+    solver = OCPSolver(m, cm, cost, cons, T=0.5, N=20,
+                       options=SolverOptions(barrier=1e-3),
+                       dtype=dtype, impulse_cost=imp)
+    mpc = MPC(solver, TrotGait(t_start=0.1), feet)
+    sched = mpc.schedule_at(0.05)
+    solver.set_solution(q0, jnp.zeros(m.nv, dtype), schedule=sched)
+    solver.init_constraints(sched)
+
+    BATCH = 32
+    key = jax.random.PRNGKey(0)
+    sol_b = batch_solution(solver.solution, BATCH)
+    dq = 0.02 * jax.random.normal(key, (BATCH, m.nv), dtype)
+    q_b = jax.vmap(lambda d: model_mod.integrate(m, q0, d))(dq)
+    v_b = 0.05 * jax.random.normal(jax.random.fold_in(key, 1),
+                                   (BATCH, m.nv), dtype)
+    bs = BatchedSolver(solver, extra_axes=(None,))
+
+    kkt0 = None
+    for it in range(10):
+        sol_b, stats = bs.update(sol_b, 0.05, q_b, v_b, sched)
+        cost_arr = np.asarray(stats.cost)
+        kkt_arr = np.asarray(stats.kkt_error)
+        assert np.isfinite(cost_arr).all(), f"non-finite cost at iter {it}"
+        assert np.isfinite(kkt_arr).all(), f"non-finite KKT at iter {it}"
+        if kkt0 is None:
+            kkt0 = kkt_arr
+    # KKT error decreased markedly across the warm-started iterations
+    assert np.mean(kkt_arr) < 0.2 * np.mean(kkt0), \
+        f"KKT mean {np.mean(kkt0):.4g} -> {np.mean(kkt_arr):.4g}"
