@@ -113,12 +113,18 @@ class ContactSequence:
                 continue
             bounds[idx] = ev.time
             snapped[idx] = ev
-        # enforce monotonicity with a minimum step
+        # Enforce monotonicity with a minimum step, robust to events
+        # crowding either horizon edge: clip every interior boundary into
+        # the feasible box [t0 + k*min_dt, t0+T - (N-k)*min_dt], then one
+        # forward pass. Induction: bounds[k-1] <= hi[k-1] implies
+        # bounds[k-1] + min_dt <= hi[k], so the forward max never re-exceeds
+        # the box and every dt >= min_dt (N*min_dt = 0.1*T < T always).
         min_dt = min_dt_frac * dt0
-        for k in range(1, N + 1):
-            if bounds[k] <= bounds[k - 1] + (min_dt if k < N else 0.0):
-                if k < N:
-                    bounds[k] = bounds[k - 1] + min_dt
+        ks = np.arange(N + 1)
+        bounds = np.clip(bounds, t0 + ks * min_dt,
+                         (t0 + T) - (N - ks) * min_dt)
+        for k in range(1, N):
+            bounds[k] = max(bounds[k], bounds[k - 1] + min_dt)
 
         dt = np.diff(bounds)
         contact_active = np.zeros((N, nc), dtype=bool)

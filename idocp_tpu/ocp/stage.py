@@ -522,7 +522,12 @@ def evaluate_contact_stage(
         g, _ = comp.evaluate(ctx, q, v_eff, a, f, u, fmask)
         s_ = slack[comp.name]
         barrier = barrier + pdipm.barrier_value(s_, options.barrier)
-        viol = viol + jnp.sum(jnp.abs(g + s_))
+        # actual infeasibility only (NOT |g + s|): the slack-slaving error
+        # is cancelled linearly by the Newton step itself, and counting it
+        # injects the cone's quadratic curvature into the filter measure,
+        # capping accepted steps at ~viol/|df|^2 (r2 standing-convergence
+        # defect). Reference: LineSearch uses the equality residual norms.
+        viol = viol + jnp.sum(jnp.maximum(g, 0.0))
 
     # dynamics equality residuals (ID + Baumgarte)
     mask3 = fmask
@@ -568,7 +573,7 @@ def evaluate_unconstr_stage(
         g, _ = comp.evaluate(ctx, q, v, a, f, u, fmask)
         s_ = slack[comp.name]
         barrier = barrier + pdipm.barrier_value(s_, options.barrier)
-        viol = viol + jnp.sum(jnp.abs(g + s_))
+        viol = viol + jnp.sum(jnp.maximum(g, 0.0))  # see contact variant
     id_res = dynamics.rnea(model, q, v, a) - u
     qp = model_mod.integrate(model, q, dt * (v + dt * a))
     rq = model_mod.difference(model, q_next, qp)
@@ -597,7 +602,7 @@ def evaluate_terminal(model, costs, constraints, options, t, q, v, slack,
         g, _ = comp.evaluate(ctx, q, v, za, zf, zu, zf)
         s_ = slack[comp.name]
         barrier = barrier + pdipm.barrier_value(s_, options.barrier)
-        viol = viol + jnp.sum(jnp.abs(g + s_))
+        viol = viol + jnp.sum(jnp.maximum(g, 0.0))  # see contact variant
     return cost + barrier, viol
 
 

@@ -14,7 +14,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_EPS2 = 1e-12  # theta^2 threshold below which Taylor expansions are used
+# theta^2 crossover below which Taylor expansions are used. 0.02 is
+# dtype-INDEPENDENT by design: the 5-term Taylor kernels below truncate at
+# < 1e-16 there (safe for f64), while the exact branches only ever run at
+# theta >= 0.14 where their cancellations (1 - cos, 1 - A/2B, ...) retain
+# full relative precision even in f32. A tiny threshold (the classic 1e-12)
+# is an f32 landmine: cos(1e-6) rounds to exactly 1.0 in f32, so the exact
+# branch returns 0/theta^2 = 0 or Inf/NaN — the round-1 f32 trot NaN.
+_EPS2 = 0.02
 
 
 def _safe_sqrt(x2):
@@ -80,37 +87,47 @@ def accurate_atan2(y, x):
     return t - (s * x - c * y) / (c * x + s * y)
 
 
-def _taylor_pair(theta2, exact_fn, c0, c1):
-    """where(theta2 small, c0 + c1*theta2, exact_fn(safe_theta)).
+def _poly(theta2, coeffs):
+    """Horner evaluation of sum_i coeffs[i] * theta2^i."""
+    p = jnp.zeros_like(theta2) + coeffs[-1]
+    for c in reversed(coeffs[:-1]):
+        p = p * theta2 + c
+    return p
 
-    exact_fn receives theta = sqrt(theta2) guarded away from zero so its
-    gradient is finite on the untaken branch.
+
+def _taylor_pair(theta2, exact_fn, coeffs):
+    """where(theta2 < _EPS2, Taylor(theta2), exact_fn(safe_theta)).
+
+    coeffs are the Taylor coefficients in theta2 (enough terms that the
+    truncation at theta2 = _EPS2 is below f64 eps). exact_fn receives
+    theta = sqrt(theta2) guarded away from zero so its gradient is finite
+    on the untaken branch.
     """
     small = theta2 < _EPS2
     theta = _safe_sqrt(theta2)
-    return jnp.where(small, c0 + c1 * theta2, exact_fn(theta))
+    return jnp.where(small, _poly(theta2, coeffs), exact_fn(theta))
 
 
 def sinc(theta2):
     """sin(theta)/theta as a function of theta^2."""
-    return _taylor_pair(theta2, lambda t: accurate_sin(t) / t, 1.0, -1.0 / 6.0)
+    return _taylor_pair(
+        theta2, lambda t: accurate_sin(t) / t,
+        (1.0, -1.0 / 6.0, 1.0 / 120.0, -1.0 / 5040.0, 1.0 / 362880.0))
 
 
 def cosc(theta2):
     """(1 - cos(theta))/theta^2 as a function of theta^2."""
     return _taylor_pair(
-        theta2, lambda t: (1.0 - accurate_cos(t)) / (t * t), 0.5, -1.0 / 24.0
-    )
+        theta2, lambda t: (1.0 - accurate_cos(t)) / (t * t),
+        (0.5, -1.0 / 24.0, 1.0 / 720.0, -1.0 / 40320.0, 1.0 / 3628800.0))
 
 
 def sincc(theta2):
     """(theta - sin(theta))/theta^3 as a function of theta^2."""
     return _taylor_pair(
-        theta2,
-        lambda t: (t - accurate_sin(t)) / (t * t * t),
-        1.0 / 6.0,
-        -1.0 / 120.0,
-    )
+        theta2, lambda t: (t - accurate_sin(t)) / (t * t * t),
+        (1.0 / 6.0, -1.0 / 120.0, 1.0 / 5040.0, -1.0 / 362880.0,
+         1.0 / 39916800.0))
 
 
 def hat(w):
@@ -187,7 +204,9 @@ def quat_exp(w3):
     """Exp: so(3) -> unit quaternion. q = [cos(|w|/2), sinc(|w|/2) * w/2]."""
     theta2 = jnp.sum(w3 * w3, axis=-1)
     half2 = theta2 / 4.0
-    c = _taylor_pair(half2, accurate_cos, 1.0, -0.5)  # cos(theta/2)
+    c = _taylor_pair(  # cos(theta/2) as a function of (theta/2)^2
+        half2, accurate_cos,
+        (1.0, -0.5, 1.0 / 24.0, -1.0 / 720.0, 1.0 / 40320.0))
     s = sinc(half2)  # sin(theta/2)/(theta/2)
     return jnp.concatenate(
         [c[..., None], 0.5 * s[..., None] * w3], axis=-1
@@ -205,9 +224,15 @@ def quat_log(q):
     n2 = jnp.sum(v * v, axis=-1)
     n = _safe_sqrt(n2)
     theta = 2.0 * accurate_atan2(n, w)
-    # scale = theta / sin(theta/2); for small theta, ~ 2 + theta^2/12... use
-    # scale = theta / n where n = sin(theta/2); small-angle: v ~ (theta/2)*axis
-    scale = jnp.where(n2 < _EPS2, 2.0 / jnp.clip(w, 1e-12), theta / n)
+    # scale = theta / n with n = sin(theta/2) for a unit quaternion. The
+    # exact ratio is stable (no cancellation); the Taylor branch exists for
+    # n -> 0 (division/gradient): with x = n/w, theta = 2 atan(x), so
+    # scale = (2/w) * atan(x)/x = (2/w)(1 - x^2/3 + x^4/5 - x^6/7 + x^8/9).
+    w_safe = jnp.maximum(w, 0.5)  # small branch only runs when w ~ 1
+    t2 = n2 / (w_safe * w_safe)
+    small_scale = (2.0 / w_safe) * _poly(
+        t2, (1.0, -1.0 / 3.0, 1.0 / 5.0, -1.0 / 7.0, 1.0 / 9.0))
+    scale = jnp.where(n2 < _EPS2, small_scale, theta / n)
     return scale[..., None] * v
 
 
@@ -237,14 +262,17 @@ def se3_log(q, p):
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), W.shape)
     # V^-1 = I - W/2 + coef * W^2,  coef = (1 - A/(2B)) / theta^2
-    # with A = sinc(theta), B = cosc(theta); Taylor: 1/12 + theta^2/720.
+    # with A = sinc(theta), B = cosc(theta). Taylor (Bernoulli series):
+    # 1/12 + theta^2/720 + theta^4/30240 + theta^6/1209600 + ...
     A = sinc(theta2)
     B = cosc(theta2)
+    small = theta2 < _EPS2
     coef = jnp.where(
-        theta2 < _EPS2,
-        1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - 0.5 * A / jnp.where(theta2 < _EPS2, 1.0, B))
-        / jnp.where(theta2 < _EPS2, 1.0, theta2),
+        small,
+        _poly(theta2, (1.0 / 12.0, 1.0 / 720.0, 1.0 / 30240.0,
+                       1.0 / 1209600.0)),
+        (1.0 - 0.5 * A / jnp.where(small, 1.0, B))
+        / jnp.where(small, 1.0, theta2),
     )
     Vinv = eye - 0.5 * W + coef * (W @ W)
     v = jnp.einsum("...ij,...j->...i", Vinv, p)

@@ -206,15 +206,16 @@ def make_update_fn(model, options, linearize_all: Callable,
         # current-iterate merit pair (cost+barrier, L1 violation)
         cost0 = (jnp.sum(lin.cost) + term_val + jnp.sum(lin.barrier)
                  + term_barrier)
+        # inequality part counts actual infeasibility relu(g) only — NOT
+        # |g + s| (matches the evaluate_* violation measure; see
+        # stage.evaluate_contact_stage for the rationale)
         viol0 = (jnp.sum(jnp.abs(lin.xres)) + jnp.sum(jnp.abs(lin.e))
                  + jnp.sum(jnp.abs(lin.sw_mask * lin.h))
                  + jnp.sum(jnp.abs(dq0)) + jnp.sum(jnp.abs(v_meas - sol.v[0])))
         for name in lin.g:
-            viol0 = viol0 + jnp.sum(
-                jnp.abs(lin.g[name] + sol.slack[name][:N]))
+            viol0 = viol0 + jnp.sum(jnp.maximum(lin.g[name], 0.0))
         for name in g_term:
-            viol0 = viol0 + jnp.sum(
-                jnp.abs(g_term[name] + sol.slack[name][N]))
+            viol0 = viol0 + jnp.sum(jnp.maximum(g_term[name], 0.0))
 
         if options.use_line_search and evaluate_all is not None:
             def eval_step(al):

@@ -45,7 +45,11 @@ def filter_select(alphas, costs, viols, cost0, viol0, gamma=1e-5,
     # alphas are sorted descending -> first acceptable index is the largest
     idx = jnp.argmax(ok)
     any_ok = jnp.any(ok)
-    alpha = jnp.where(any_ok, alphas[idx], alphas[-1])
+    # give-up fallback: the smallest step — but NEVER a non-finite trial
+    # (a NaN direction must stall the iterate, not poison it; zero keeps
+    # the solve alive so the next linearization can recover)
+    fallback = jnp.where(finite[-1], alphas[-1], jnp.zeros_like(alphas[-1]))
+    alpha = jnp.where(any_ok, alphas[idx], fallback)
     return alpha, any_ok
 
 

@@ -104,6 +104,8 @@ class OCPSolver:
         self._direction = jax.jit(make_direction_fn(
             model, options, linearize_all, terminal_fn))
         self._init_constraints = jax.jit(self._make_init_constraints())
+        #: stage linearizer handle (diagnostics / tests)
+        self._linearize = jax.jit(linearize_all)
         self.solution: Solution = None
 
     # ------------------------------------------------------------------

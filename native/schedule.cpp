@@ -62,11 +62,19 @@ void discretize_batch(
       bounds[idx] = te;
       snapped[idx] = e;
     }
-    // monotonicity with minimum step
+    // Monotonicity with minimum step, robust to events crowding either
+    // horizon edge (mirrors schedule.py exactly): clip each boundary into
+    // [tb + k*min_dt, tb+T - (N-k)*min_dt], then one forward pass.
     const double min_dt = min_dt_frac * dt0;
-    for (int64_t k = 1; k <= N; ++k) {
-      const double lim = bounds[k - 1] + (k < N ? min_dt : 0.0);
-      if (bounds[k] <= lim && k < N) bounds[k] = bounds[k - 1] + min_dt;
+    for (int64_t k = 0; k <= N; ++k) {
+      const double lo = tb + static_cast<double>(k) * min_dt;
+      const double hi = (tb + T) - static_cast<double>(N - k) * min_dt;
+      if (bounds[k] < lo) bounds[k] = lo;
+      if (bounds[k] > hi) bounds[k] = hi;
+    }
+    for (int64_t k = 1; k < N; ++k) {
+      const double lim = bounds[k - 1] + min_dt;
+      if (bounds[k] < lim) bounds[k] = lim;
     }
 
     // helper: status strictly at time t (last event with time <= t)

@@ -131,3 +131,45 @@ def test_native_discretizer_matches_python():
         a = np.asarray(getattr(sp, name)).astype(float)
         b = np.asarray(getattr(sn, name)).astype(float)
         np.testing.assert_allclose(a, b, atol=1e-12, err_msg=name)
+
+
+def test_schedule_event_pileup_right_edge():
+    """Events crowding the right horizon edge must still yield a monotone
+    grid with dt > 0 summing to T (round-1 defect: the forward-only fixup
+    could push bounds[N-1] past t0+T). Cross-checked native vs Python."""
+    from idocp_tpu.hybrid import native
+    from idocp_tpu.hybrid.schedule import ContactSequence
+
+    nc = 4
+    feet = np.zeros((nc, 3))
+    T, N = 0.5, 10  # dt0 = 0.05, min_dt = 0.005
+    # four events within the last half-stage of the horizon
+    seq = ContactSequence(nc, [True] * nc, feet)
+    alt = [True, False, True, False]
+    for i, te in enumerate([0.478, 0.483, 0.488, 0.493]):
+        seq.push_back(te, [alt[(i + j) % 2] for j in range(nc)], feet)
+    sched = seq.discretize(0.0, T, N)
+    dt = np.asarray(sched.dt)
+    assert np.all(dt > 0), dt
+    np.testing.assert_allclose(dt.sum(), T, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(sched.t_offset)[0], 0.0, atol=1e-12)
+    # same pileup at the LEFT edge
+    seq2 = ContactSequence(nc, [True] * nc, feet)
+    for i, te in enumerate([0.004, 0.009, 0.014, 0.019]):
+        seq2.push_back(te, [alt[(i + j) % 2] for j in range(nc)], feet)
+    sched2 = seq2.discretize(0.0, T, N)
+    dt2 = np.asarray(sched2.dt)
+    assert np.all(dt2 > 0), dt2
+    np.testing.assert_allclose(dt2.sum(), T, atol=1e-9)
+    if native.native_available():
+        for seq_, t0_ in [(seq, 0.0), (seq2, 0.0)]:
+            sp = native.discretize_batch([seq_], np.array([t0_]), T, N,
+                                         force_python=True)
+            sn = native.discretize_batch([seq_], np.array([t0_]), T, N)
+            for name in ["dt", "t_offset", "contact_active", "imp_mask",
+                         "imp_contact", "sw_contact"]:
+                np.testing.assert_allclose(
+                    np.asarray(getattr(sp, name)).astype(float),
+                    np.asarray(getattr(sn, name)).astype(float),
+                    atol=1e-12, err_msg=name)

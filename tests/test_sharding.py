@@ -89,3 +89,34 @@ def test_sharded_matches_unsharded(small_solver):
                                np.asarray(out_plain.q), atol=1e-12)
     np.testing.assert_allclose(np.asarray(stats_mesh.kkt_error),
                                np.asarray(stats_plain.kkt_error), atol=1e-10)
+
+
+def test_pod_mesh_and_scaling_report(small_solver):
+    """Multi-host scaffold (SURVEY.md §5 distributed-backend row): the
+    (dcn, ici) pod mesh builds on the virtual 8-device topology and the
+    scaling-efficiency harness runs end-to-end. CPU timing is too noisy
+    for a hard efficiency bar; the TPU bench records the real number."""
+    from idocp_tpu.parallel import distributed as dist
+
+    dist.initialize()  # no-op single-process
+    mesh = dist.make_pod_mesh()
+    assert mesh.axis_names == ("dcn", "ici")
+    assert mesh.devices.size >= 8
+
+    m, solver, q0 = small_solver
+    bs = BatchedSolver(solver, extra_axes=())
+
+    def make_batch(n):
+        sol_b = batch_solution(solver.solution, n)
+        q_b = jnp.tile(q0[None], (n, 1))
+        v_b = jnp.zeros((n, m.nv))
+        return (sol_b, 0.0, q_b, v_b)
+
+    def step(sol_b, t, q_b, v_b):
+        new_sol, _ = bs.update(sol_b, t, q_b, v_b)
+        return new_sol
+
+    rep = dist.scaling_report(step, make_batch, batch_per_device=4,
+                              iters=3, warmup=1)
+    assert rep["1_device"] > 0 and rep["8_devices"] > 0
+    assert np.isfinite(rep["scaling_efficiency"])
