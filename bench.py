@@ -6,10 +6,16 @@ trot OCP (exactly what the reference's MPC loop does per control step —
 idocp OCPSolver::updateSolution, SURVEY.md §3.1/§3.3), batched over
 independent scenarios on the chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is value / 10_000 — the north-star target for a whole
 v4-16 slice, so vs_baseline >= 1.0 means a single chip beats the
 slice-level target on its own.
+
+Budget discipline (BENCH_r02 was rc=124 — compile alone blew the driver's
+time budget): the persistent XLA compilation cache is enabled (same dir
+the test suite uses), compile wall-clock is measured and reported, and
+the timing loop stops early if BENCH_BUDGET_S is exceeded so a JSON
+line is ALWAYS printed from whatever iterations completed.
 """
 import json
 import os
@@ -21,29 +27,46 @@ import numpy as np
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 N_HORIZON = int(os.environ.get("BENCH_N", "20"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+_T_START = time.time()
 
 
 def main():
     import jax
+
+    # Persistent compile cache: the jitted whole-horizon update is a large
+    # XLA program; cold compiles on the experimental axon platform took
+    # ~15 min in round 2. Shared with tests/conftest.py.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/idocp_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from idocp_tpu.constraints.components import (
         FrictionCone, JointTorquesLowerLimit, JointTorquesUpperLimit)
     from idocp_tpu.cost.components import ConfigurationSpaceCost
-    from idocp_tpu.hybrid.schedule import static_schedule
     from idocp_tpu.models import anymal
     from idocp_tpu.parallel.batch import BatchedSolver, batch_solution
     from idocp_tpu.robot import kinematics
     from idocp_tpu.robot.contact import ContactModel
-    from idocp_tpu.solver.mpc import TrotGait
+    from idocp_tpu.solver.mpc import MPC, TrotGait
     from idocp_tpu.solver.ocp_solver import OCPSolver
     from idocp_tpu.solver.options import SolverOptions
 
     dtype = jnp.float32
-    m = anymal.make_model(dtype=dtype)
-    cm = ContactModel(frame_ids=(0, 1, 2, 3), kp=25.0, kd=10.0)
+    # production model path: built from the vendored URDF asset
+    # (VERDICT r2 next-item #7; cross-checked vs the hand-built model in
+    # tests/test_urdf.py)
+    m = anymal.make_model_urdf(dtype=dtype)
+    foot_ids = tuple(m.frame_id(n) for n in anymal.FOOT_FRAMES)
+    cm = ContactModel(frame_ids=foot_ids, kp=25.0, kd=10.0)
     q0 = anymal.standing_configuration(m, dtype=dtype)
-    feet = np.asarray(kinematics.frame_positions(m, q0, (0, 1, 2, 3)))
+    feet = np.asarray(kinematics.frame_positions(m, q0, foot_ids))
 
     cost = [ConfigurationSpaceCost(
         q_weight=jnp.asarray([0.0] * 3 + [10.0] * 3 + [1.0] * 12, dtype),
@@ -55,12 +78,14 @@ def main():
         q_ref=q0)]
     cons = [JointTorquesLowerLimit(m), JointTorquesUpperLimit(m),
             FrictionCone(m, nc=4, mu=0.7)]
-    options = SolverOptions(barrier=1e-3)
+    # MPC hot-path options: no full KKT-residual assembly per update (the
+    # control loop ignores it), 4-point line-search grid.
+    options = SolverOptions(barrier=1e-3, compute_kkt_error=False,
+                            line_search_alphas=4)
 
     # representative mid-trot horizon: one touchdown (impulse + switching)
     # inside the window, diagonal pair swinging before it
     gait = TrotGait(t_start=0.1)
-    from idocp_tpu.solver.mpc import MPC
     T = 0.5
     solver = OCPSolver(m, cm, cost, cons, T=T, N=N_HORIZON,
                        options=options, dtype=dtype)
@@ -82,22 +107,33 @@ def main():
     bs = BatchedSolver(solver, extra_axes=(None,))
 
     # warm-up / compile
+    t_c0 = time.time()
     sol_b, stats = bs.update(sol_b, 0.05, q_b, v_b, sched)
     jax.block_until_ready(stats.cost)
+    compile_s = time.time() - t_c0
 
     t0 = time.time()
+    done = 0
     for _ in range(ITERS):
         sol_b, stats = bs.update(sol_b, 0.05, q_b, v_b, sched)
+        done += 1
+        # budget guard: always leave time to sync + print the JSON line
+        if time.time() - _T_START > BUDGET_S:
+            break
     jax.block_until_ready(stats.cost)
     wall = time.time() - t0
 
-    solves_per_s = BATCH * ITERS / wall
+    solves_per_s = BATCH * done / wall
     ok = bool(np.isfinite(np.asarray(stats.cost)).all())
     result = {
         "metric": "anymal_trot_mpc_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 10000.0, 3),
+        "batch": BATCH,
+        "iters": done,
+        "compile_s": round(compile_s, 1),
+        "total_wall_s": round(time.time() - _T_START, 1),
     }
     if not ok:
         result["warning"] = "non-finite costs in batch"

@@ -245,6 +245,76 @@ class ContactNormalForce(ConstraintComponent):
         return g, {"f": J}
 
 
+class ImpulseConstraintComponent:
+    """g(Λ) ≤ 0 on the impact impulse at impulse stages (reference:
+    the impulse constraint variants, SURVEY.md §2 constraints "Impulse
+    variants"; idocp `constraints/impulse_friction_cone.hpp` ⚠).
+
+    Λ is eliminated (an explicit function of the pre-impulse state via the
+    impulse map), so these constraints chain through the impulse-map
+    Jacobians Lx = [Lq, Lv] inside the stage builder rather than through
+    the named-variable space. evaluate_lam returns (g, dg/dΛ) with rows
+    mask-gated to a feasible constant (g = −1, ∇g = 0) wherever the stage
+    is not an impulse stage or the contact does not impact.
+    """
+
+    name: str
+    dim: int
+    impulse = True
+
+    def evaluate_lam(self, lam, gate):
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(frozen=True)
+class ImpulseFrictionCone(ImpulseConstraintComponent):
+    """Λ_x² + Λ_y² − μ² Λ_z² ≤ 0 per impacting contact."""
+    model: object
+    nc: int
+    mu: float = 0.7
+    name: str = "impulse_friction_cone"
+
+    @property
+    def dim(self):
+        return self.nc
+
+    def evaluate_lam(self, lam, gate):
+        lc = lam.reshape(self.nc, 3)
+        active = gate > 0.5
+        g = lc[:, 0] ** 2 + lc[:, 1] ** 2 - (self.mu ** 2) * lc[:, 2] ** 2
+        grad = jnp.stack(
+            [2 * lc[:, 0], 2 * lc[:, 1], -2 * (self.mu ** 2) * lc[:, 2]],
+            axis=-1)
+        g = jnp.where(active, g, -1.0)
+        grad = jnp.where(active[:, None], grad, 0.0)
+        J = jnp.zeros((self.nc, 3 * self.nc), dtype=lam.dtype)
+        for i in range(self.nc):
+            J = J.at[i, 3 * i:3 * i + 3].set(grad[i])
+        return g, J
+
+
+@dataclasses.dataclass(frozen=True)
+class ImpulseNormalForce(ImpulseConstraintComponent):
+    """−Λ_z ≤ 0 per impacting contact (the impact impulse must push)."""
+    model: object
+    nc: int
+    lz_min: float = 0.0
+    name: str = "impulse_normal_force"
+
+    @property
+    def dim(self):
+        return self.nc
+
+    def evaluate_lam(self, lam, gate):
+        lc = lam.reshape(self.nc, 3)
+        active = gate > 0.5
+        g = jnp.where(active, self.lz_min - lc[:, 2], -1.0)
+        J = jnp.zeros((self.nc, 3 * self.nc), dtype=lam.dtype)
+        for i in range(self.nc):
+            J = J.at[i, 3 * i + 2].set(jnp.where(active[i], -1.0, 0.0))
+        return g, J
+
+
 def default_joint_limits(model):
     """The reference's standard constraint set for joint-limited robots
     (examples build exactly these six; SURVEY.md §3.3)."""

@@ -30,6 +30,9 @@ class Solution:
       mu: (N, nf)    multiplier of the contact (Baumgarte) equality
       xi: (N, nf)    multiplier of the switching constraint (masked stages)
       slack, dual: dict name -> (N+1, m) interior-point pairs per component
+      filter_cost/filter_viol: (F,) Fletcher–Leyffer filter memory carried
+        across Newton iterations (reference: line_search_filter.hpp);
+        +inf rows are empty slots. filter_ptr: ring-buffer write index.
     """
     q: jnp.ndarray
     v: jnp.ndarray
@@ -43,17 +46,22 @@ class Solution:
     xi: jnp.ndarray
     slack: Dict[str, jnp.ndarray]
     dual: Dict[str, jnp.ndarray]
+    filter_cost: jnp.ndarray
+    filter_viol: jnp.ndarray
+    filter_ptr: jnp.ndarray
 
 
 jax.tree_util.register_dataclass(
     Solution,
     data_fields=["q", "v", "a", "f", "u", "lmd", "gmm", "beta", "mu", "xi",
-                 "slack", "dual"],
+                 "slack", "dual", "filter_cost", "filter_viol",
+                 "filter_ptr"],
     meta_fields=[],
 )
 
 
-def zero_solution(nq, nv, nu, nf, N, q0, v0=None, dtype=None) -> Solution:
+def zero_solution(nq, nv, nu, nf, N, q0, v0=None, dtype=None,
+                  filter_size=0) -> Solution:
     """Warm-startable initial solution: q/v held at (q0, v0), rest zero."""
     dtype = dtype or q0.dtype
     v0 = jnp.zeros(nv, dtype=dtype) if v0 is None else v0
@@ -70,6 +78,9 @@ def zero_solution(nq, nv, nu, nf, N, q0, v0=None, dtype=None) -> Solution:
         xi=jnp.zeros((N, nf), dtype),
         slack={},
         dual={},
+        filter_cost=jnp.full((filter_size,), jnp.inf, dtype),
+        filter_viol=jnp.full((filter_size,), jnp.inf, dtype),
+        filter_ptr=jnp.zeros((), jnp.int32),
     )
 
 

@@ -38,7 +38,9 @@ from ..robot import model as model_mod
 from ..robot.contact import ContactModel
 from ..robot.model import RobotModel
 from .data import StageQuad
-from .state_equation import contact_factors, contact_solve
+from .state_equation import (contact_factors, contact_solve,
+                             factors_from_mj as contact_factors_from_mj,
+                             mass_and_contact_jacobian)
 
 _ORDER = ("q", "v", "a", "f", "u")
 
@@ -106,7 +108,7 @@ def _accumulate_named(blocks_list, offs, nn, dtype):
     return val, l, H
 
 
-def _impulse_quantities(model, cm, q, v, imp_mask, imp_contact):
+def _impulse_quantities(model, cm, q, v, imp_mask, imp_contact, mj):
     """v_eff, Λ and their tangent Jacobians (Gq, Gv, Lq, Lv), mask-gated.
 
     Implicit-function derivatives against the contact-block factorization
@@ -115,12 +117,15 @@ def _impulse_quantities(model, cm, q, v, imp_mask, imp_contact):
       ∂sol/∂q = −A⁻¹ ∂q[A(q)·sol − rhs(q)]
     where the q-sweep uses the RNEA identity M(q)dv − J̃ᵀΛ =
     RNEA(q,0,dv,f=Λ) − RNEA(q,0,0) (two forward recursions per tangent).
+    mj = (M, LM, J) shared with the stance factorization.
     """
     nv, nf = model.nv, cm.max_dimf
     dtype = q.dtype
     m = imp_mask.astype(dtype)
 
-    LM, LS, Jm, mask3i, _ = contact_factors(model, cm, q, imp_contact)
+    M_, LM_, J_ = mj
+    LM, LS, Jm, mask3i, _ = contact_factors_from_mj(M_, LM_, J_,
+                                                    imp_contact)
     dv0, lam0 = contact_solve(LM, LS, Jm, jnp.zeros(nv, dtype), -Jm @ v)
 
     # ∂/∂v: linear in the rhs
@@ -133,10 +138,9 @@ def _impulse_quantities(model, cm, q, v, imp_mask, imp_contact):
 
     def resid_q(eq):
         qq = model_mod.integrate(model, q, eq)
-        top = (dynamics.rnea(model, qq, jnp.zeros(nv, dtype), dv0,
-                             cm.frame_ids, fm)
-               - dynamics.rnea(model, qq, jnp.zeros(nv, dtype),
-                               jnp.zeros(nv, dtype)))
+        # M(q)dv − J̃ᵀΛ at v = 0 is gravity-free RNEA in one pass
+        top = dynamics.rnea(model, qq, jnp.zeros(nv, dtype), dv0,
+                            cm.frame_ids, fm, no_gravity=True)
         bot = mask3i * kinematics.frame_velocities(
             model, qq, v_post, cm.frame_ids).reshape(3 * cm.nc)
         return jnp.concatenate([top, bot])
@@ -173,9 +177,7 @@ def _dynamics_blocks(model, cm, q, v_eff, a, f, u, contact_active, p_ref,
         vv = v_eff + dvv
         fm = (mask3 * f).reshape(cm.nc, 3)
         id_res = dynamics.rnea(model, qq, vv, a, cm.frame_ids, fm) - S_T @ u
-        acc = kinematics.frame_accelerations(model, qq, vv, a, cm.frame_ids)
-        vel = kinematics.frame_velocities(model, qq, vv, cm.frame_ids)
-        pos = kinematics.frame_positions(model, qq, cm.frame_ids)
+        pos, vel, acc = kinematics.frame_pva(model, qq, vv, a, cm.frame_ids)
         baum = (acc + cm.kd * vel + cm.kp * (pos - p_ref)).reshape(3 * cm.nc)
         baum = mask3 * baum + (1.0 - mask3) * f
         return jnp.concatenate([id_res, baum])
@@ -202,53 +204,59 @@ def _state_eq_blocks(model, dt, q, v_eff, a, q_next, v_next):
     q-row scaled by -Jn^{-1} so x' appears with identity coefficient
     (solved, never inverted). One fused jacfwd over (δq, δv, δq_next).
     """
+    out = _state_eq_switching_blocks(model, None, dt, q, v_eff, a, q_next,
+                                     v_next, None, None)
+    return out[:5]
+
+
+def _state_eq_switching_blocks(model, cm, dt, q, v_eff, a, q_next, v_next,
+                               sw_contact, sw_pos):
+    """State-equation AND switching-constraint blocks from ONE jacfwd.
+
+    Both differentiate the same predicted configuration
+    qp = q ⊕ dt (v_eff + dt a), so fusing them traces the integrate tower
+    once (compile-time discipline). Switching rows (reference:
+    ocp/switching_constraint.hpp): masked touchdown positions of qp must
+    equal planned footholds; Ca = dt·Cv exactly (a enters only via dt²·δa
+    alongside dt·δv). cm=None disables the switching rows.
+    """
+    from ..robot import kinematics as _kin
     nv = model.nv
     dtype = q.dtype
+    ns = 3 * cm.nc if cm is not None else 0
+    if cm is not None:
+        mask3 = jnp.repeat(sw_contact.astype(dtype), 3)
 
-    def rq(z):
+    def res(z):
         eq, dvv, en = z[:nv], z[nv:2 * nv], z[2 * nv:]
         qp = model_mod.integrate(
             model, model_mod.integrate(model, q, eq),
             dt * (v_eff + dvv + dt * a))
         qn = model_mod.integrate(model, q_next, en)
-        return model_mod.difference(model, qn, qp)
+        rq = model_mod.difference(model, qn, qp)
+        if cm is None:
+            return rq
+        pos = _kin.frame_positions(model, qp, cm.frame_ids)
+        h = mask3 * (pos - sw_pos).reshape(ns)
+        return jnp.concatenate([rq, h])
 
     zero3 = jnp.zeros((3 * nv,), dtype)
-    rq0 = rq(zero3)
-    J = jax.jacfwd(rq)(zero3)
-    Jq, Jv, Jn = J[:, :nv], J[:, nv:2 * nv], J[:, 2 * nv:]
+    r0 = res(zero3)
+    J = jax.jacfwd(res)(zero3)
+    rq0, Jq, Jv, Jn = r0[:nv], J[:nv, :nv], J[:nv, nv:2 * nv], \
+        J[:nv, 2 * nv:]
     # scale the q-row by -Jn^{-1}: one LU solve over the stacked RHS
     rhs = jnp.concatenate([Jq, Jv, rq0[:, None]], axis=1)
     sol = -jnp.linalg.solve(Jn, rhs)
     Aq_q, Aq_v, rq_s = sol[:, :nv], sol[:, nv:2 * nv], sol[:, 2 * nv]
     Aq_a = dt * Aq_v
     rv0 = v_eff + dt * a - v_next
-    return Aq_q, Aq_v, Aq_a, rq_s, rv0
-
-
-def _switching_blocks(model, cm, dt, q, v_eff, a, sw_contact, sw_pos):
-    """Masked touchdown (switching) constraint at a pre-impulse stage:
-    contact-frame positions of the *predicted next config* must equal the
-    planned footholds (reference: ocp/switching_constraint.hpp).
-    Ca = dt·Cv exactly (a enters only through dt²·δa alongside dt·δv)."""
-    nv = model.nv
-    dtype = q.dtype
-    mask3 = jnp.repeat(sw_contact.astype(dtype), 3)
-
-    def res(z):
-        eq, dvv = z[:nv], z[nv:]
-        qq = model_mod.integrate(model, q, eq)
-        qp = model_mod.integrate(
-            model, qq, dt * (v_eff + dvv + dt * a))
-        pos = kinematics.frame_positions(model, qp, cm.frame_ids)
-        return mask3 * (pos - sw_pos).reshape(3 * cm.nc)
-
-    zero2 = jnp.zeros((2 * nv,), dtype)
-    h = res(zero2)
-    C = jax.jacfwd(res)(zero2)
-    Cq, Cv = C[:, :nv], C[:, nv:]
+    if cm is None:
+        return Aq_q, Aq_v, Aq_a, rq_s, rv0, None, None, None, None, None
+    h = r0[nv:]
+    Cq, Cv = J[nv:, :nv], J[nv:, nv:2 * nv]
     Ca = dt * Cv
-    return h, Cq, Cv, Ca, mask3
+    return Aq_q, Aq_v, Aq_a, rq_s, rv0, h, Cq, Cv, Ca, mask3
 
 
 def linearize_contact_stage(
@@ -256,7 +264,7 @@ def linearize_contact_stage(
         t, dt, q, v, a, f, u, q_next, v_next, slack, dual,
         contact_active, p_ref, imp_mask, imp_contact,
         sw_mask_any, sw_contact, sw_pos, ctx=None,
-        impulse_cost=None) -> StageLin:
+        impulse_cost=None, impulse_constraints=()) -> StageLin:
     """Linearize + condense one whole-body stage (reference:
     SplitOCP::computeKKTSystem + ContactDynamics::condense)."""
     nv, nf, nu = model.nv, cm.max_dimf, model.nu
@@ -264,9 +272,15 @@ def linearize_contact_stage(
     dtype = q.dtype
     offs, nn = _named_offsets(nv, nf, nu)
 
+    # shared per-stage dynamics quantities: ONE mass matrix + Cholesky +
+    # contact Jacobian feed both the impulse gate and the stance
+    # factorization (each would otherwise re-trace a jacfwd-through-RNEA
+    # subgraph — the round-2 compile-time sink)
+    mj = mass_and_contact_jacobian(model, cm, q)
+
     # impulse gate: post-impulse velocity + impact impulse and Jacobians
     v_eff, lam, Gq, Gv, Lq, Lv = _impulse_quantities(
-        model, cm, q, v, imp_mask, imp_contact)
+        model, cm, q, v, imp_mask, imp_contact, mj)
 
     # ---- costs in named space
     fmask = jnp.repeat(contact_active.astype(dtype), 3)
@@ -292,7 +306,7 @@ def linearize_contact_stage(
         Jz_all[comp.name] = Jn_  # named for now; chained below
 
     # ---- contact-block factorization (shared: E_af, elimination, duals)
-    factors = contact_factors(model, cm, q, contact_active)
+    factors = contact_factors_from_mj(*mj, contact_active)
     LM, LS, Jm, _, _ = factors
 
     # ---- dynamics equality in named space
@@ -301,9 +315,10 @@ def linearize_contact_stage(
     E_named = jnp.concatenate([Dq, Dv, jnp.concatenate([E_af, E_u], axis=1)],
                               axis=1)
 
-    # ---- state equation (scaled)
-    Aq_q, Aq_v, Aq_a, rq_s, rv0 = _state_eq_blocks(
-        model, dt, q, v_eff, a, q_next, v_next)
+    # ---- state equation + switching constraint (one fused jacfwd tower)
+    (Aq_q, Aq_v, Aq_a, rq_s, rv0, h, Cq, Cv, Ca,
+     swm3) = _state_eq_switching_blocks(
+        model, cm, dt, q, v_eff, a, q_next, v_next, sw_contact, sw_pos)
     Z_qf = jnp.zeros((nv, nf), dtype)
     Z_qu = jnp.zeros((nv, nu), dtype)
     I_v = jnp.eye(nv, dtype=dtype)
@@ -314,9 +329,7 @@ def linearize_contact_stage(
     ], axis=0)
     xres = jnp.concatenate([rq_s, rv0])
 
-    # ---- switching constraint
-    h, Cq, Cv, Ca, swm3 = _switching_blocks(
-        model, cm, dt, q, v_eff, a, sw_contact, sw_pos)
+    # ---- switching constraint (blocks from the fused tower above)
     C_named = jnp.concatenate(
         [Cq, Cv, Ca, jnp.zeros((3 * cm.nc, nf + nu), dtype)], axis=1)
 
@@ -349,6 +362,27 @@ def linearize_contact_stage(
                     + Lx.T @ (w_lm[:, None] * Lx))
     val = val + cost_extra
 
+    # ---- impulse-stage constraints on Λ (reference: the impulse friction
+    # cone / normal-force variants, SURVEY.md §2 "Impulse variants").
+    # Λ is an explicit function of x, so these condense in x-space through
+    # the impulse-map Jacobian Lx = [Lq, Lv]; the (x|w)-space Jacobians
+    # [Jg·Lx, 0] feed the shared slack/dual expansion and KKT residual.
+    Jxw_imp = {}
+    if impulse_constraints:
+        Lx_imp = jnp.concatenate([Lq, Lv], axis=1)       # (nf, nx)
+        gate = imp_mask.astype(dtype) * imp_contact.astype(dtype)  # (nc,)
+        for comp in impulse_constraints:
+            g_i, dgdlam = comp.evaluate_lam(lam, gate)
+            Jx_i = dgdlam @ Lx_imp                        # (dim, nx)
+            s_, d_ = slack[comp.name], dual[comp.name]
+            sigma, rhs = pdipm.condense_terms(g_i, s_, d_, options.barrier)
+            quad_Qxx = quad_Qxx + Jx_i.T @ (sigma[:, None] * Jx_i)
+            quad_lx = quad_lx + Jx_i.T @ rhs
+            barrier = barrier + pdipm.barrier_value(s_, options.barrier)
+            g_all[comp.name] = g_i
+            Jxw_imp[comp.name] = jnp.concatenate(
+                [Jx_i, jnp.zeros((comp.dim, nw), dtype)], axis=1)
+
     quad = StageQuad(
         value=val,
         lx=quad_lx, lw=Tw.T @ lcond,
@@ -363,6 +397,7 @@ def linearize_contact_stage(
     Cw_raw = C_named @ Tw
     Jz = {k: jnp.concatenate([Jn_ @ Tx, Jn_ @ Tw], axis=1)
           for k, Jn_ in Jz_all.items()}
+    Jz.update(Jxw_imp)  # impulse-Λ constraints: already in (x|w) space
 
     # ---- elimination operators: w_e = T_x x + T_k u + t0 with
     # E_we w_e = −(E_x x + E_wk u + e); E_we IS the factorized contact
@@ -433,7 +468,7 @@ def linearize_unconstr_stage(
     e = idres(zero2)
     D = jax.jacfwd(idres)(zero2)
     Dq, Dv = D[:, :nv], D[:, nv:]
-    M = dynamics.crba(model, q)
+    M = dynamics.mass_matrix(model, q)
     E_named = jnp.concatenate(
         [Dq, Dv, M, -jnp.eye(nv, dtype=dtype)], axis=1)
 
@@ -488,7 +523,8 @@ def evaluate_contact_stage(
         model: RobotModel, cm: ContactModel, costs, constraints, options,
         t, dt, q, v, a, f, u, q_next, v_next, slack,
         contact_active, p_ref, imp_mask, imp_contact,
-        sw_contact, sw_pos, ctx=None, impulse_cost=None):
+        sw_contact, sw_pos, ctx=None, impulse_cost=None,
+        impulse_constraints=()):
     """Value-only stage evaluation for line-search trials (reference:
     SplitOCP::stageCost + constraintViolation, used by LineSearch;
     idocp `line_search/line_search.hpp`). Returns
@@ -528,6 +564,12 @@ def evaluate_contact_stage(
         # capping accepted steps at ~viol/|df|^2 (r2 standing-convergence
         # defect). Reference: LineSearch uses the equality residual norms.
         viol = viol + jnp.sum(jnp.maximum(g, 0.0))
+    for comp in impulse_constraints:
+        gate = m * imp_contact.astype(dtype)
+        g_i, _ = comp.evaluate_lam(lam, gate)
+        barrier = barrier + pdipm.barrier_value(slack[comp.name],
+                                                options.barrier)
+        viol = viol + jnp.sum(jnp.maximum(g_i, 0.0))
 
     # dynamics equality residuals (ID + Baumgarte)
     mask3 = fmask
@@ -535,9 +577,7 @@ def evaluate_contact_stage(
         [jnp.zeros((nv - nu, nu), dtype), jnp.eye(nu, dtype=dtype)], axis=0)
     fm = (mask3 * f).reshape(cm.nc, 3)
     id_res = dynamics.rnea(model, q, v_eff, a, cm.frame_ids, fm) - S_T @ u
-    acc = kinematics.frame_accelerations(model, q, v_eff, a, cm.frame_ids)
-    vel = kinematics.frame_velocities(model, q, v_eff, cm.frame_ids)
-    pos = kinematics.frame_positions(model, q, cm.frame_ids)
+    pos, vel, acc = kinematics.frame_pva(model, q, v_eff, a, cm.frame_ids)
     baum = (acc + cm.kd * vel + cm.kp * (pos - p_ref)).reshape(3 * cm.nc)
     baum = mask3 * baum + (1.0 - mask3) * f
     viol = viol + jnp.sum(jnp.abs(id_res)) + jnp.sum(jnp.abs(baum))

@@ -24,7 +24,7 @@ def contact_block_matrix(model: RobotModel, cm: ContactModel, q, active):
     invertible for any active set, decoupling inactive slots (df = 0).
     Shared by impulse dynamics and contact condensing."""
     nv, nf = model.nv, cm.max_dimf
-    M = dynamics.crba(model, q)
+    M = dynamics.mass_matrix(model, q)
     J = dynamics.contact_velocity_jacobian(model, q, cm.frame_ids)
     mask3 = jnp.repeat(active.astype(q.dtype), 3)
     Jm = mask3[:, None] * J
@@ -32,6 +32,33 @@ def contact_block_matrix(model: RobotModel, cm: ContactModel, q, active):
     top = jnp.concatenate([M, -Jm.T], axis=1)
     bot = jnp.concatenate([Jm, Sigma], axis=1)
     return jnp.concatenate([top, bot], axis=0), Jm, mask3
+
+
+def mass_and_contact_jacobian(model: RobotModel, cm: ContactModel, q):
+    """(M, LM, J): mass matrix, its Cholesky factor, and the unmasked
+    stacked contact-velocity Jacobian. Computed ONCE per stage and shared
+    between the impulse-gate and stance factorizations (compile-time
+    discipline: each is a full jacfwd-through-RNEA/FK subgraph).
+
+    M comes from `dynamics.mass_matrix` (jacfwd of the level-batched RNEA)
+    rather than the body-unrolled CRBA: exact same matrix, O(depth) graph.
+    """
+    M = dynamics.mass_matrix(model, q)
+    M = 0.5 * (M + M.T)
+    J = dynamics.contact_velocity_jacobian(model, q, cm.frame_ids)
+    LM = jnp.linalg.cholesky(M)
+    return M, LM, J
+
+
+def factors_from_mj(M, LM, J, active):
+    """Schur factorization of [[M, −J̃ᵀ], [J̃, Σ]] for a given active mask,
+    reusing the shared (M, LM, J). Returns (LM, LS, Jm, mask3, M)."""
+    mask3 = jnp.repeat(active.astype(J.dtype), 3)
+    Jm = mask3[:, None] * J
+    MinvJt = jax.scipy.linalg.cho_solve((LM, True), Jm.T)
+    S = Jm @ MinvJt + jnp.diag(1.0 - mask3)
+    LS = jnp.linalg.cholesky(0.5 * (S + S.T))
+    return LM, LS, Jm, mask3, M
 
 
 def contact_factors(model: RobotModel, cm: ContactModel, q, active):
@@ -45,15 +72,8 @@ def contact_factors(model: RobotModel, cm: ContactModel, q, active):
     masked contact Jacobian, the 3·nc mask, and M itself (for callers that
     assemble the raw block, e.g. the dense-KKT oracle path).
     """
-    M = dynamics.crba(model, q)
-    J = dynamics.contact_velocity_jacobian(model, q, cm.frame_ids)
-    mask3 = jnp.repeat(active.astype(q.dtype), 3)
-    Jm = mask3[:, None] * J
-    LM = jnp.linalg.cholesky(M)
-    MinvJt = jax.scipy.linalg.cho_solve((LM, True), Jm.T)
-    S = Jm @ MinvJt + jnp.diag(1.0 - mask3)
-    LS = jnp.linalg.cholesky(0.5 * (S + S.T))
-    return LM, LS, Jm, mask3, M
+    M, LM, J = mass_and_contact_jacobian(model, cm, q)
+    return factors_from_mj(M, LM, J, active)
 
 
 def contact_solve(LM, LS, Jm, b1, b2):

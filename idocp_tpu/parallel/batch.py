@@ -36,12 +36,15 @@ class BatchedSolver:
     jitted update/kkt functions.
 
     solver: an OCPSolver / UnconstrOCPSolver (provides _update, _kkt).
-    extra_axes: in_axes entries for the solver's extra update args
-        (e.g. None for a shared HorizonSchedule, 0 for per-scenario gaits).
+    extra_axes: in_axes entries for the solver's extra update args —
+        None for a HorizonSchedule shared by the whole batch, 0 for
+        per-scenario schedules/gaits (a HorizonSchedule pytree whose
+        arrays carry a leading batch axis, e.g. from
+        hybrid.native.discretize_batch; BASELINE config #5).
     """
 
     def __init__(self, solver, mesh: Optional[Mesh] = None,
-                 extra_axes=(None,), batch_extra=False):
+                 extra_axes=(None,)):
         self.solver = solver
         self.mesh = mesh
         upd = jax.vmap(solver._update.__wrapped__,

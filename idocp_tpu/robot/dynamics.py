@@ -3,16 +3,25 @@
 TPU-native replacement for the reference's Pinocchio dynamics calls
 (idocp `robot/robot.hpp`: RNEA, RNEADerivatives, RNEAImpulse, crba,
 dRNEAPartialdFext; SURVEY.md L1). Spatial 6-vectors are angular-first
-[omega, v]; wrenches are [torque, force] (DESIGN.md). Everything unrolls
-over the static topology; vmap supplies batching over scenarios/stages.
+[omega, v]; wrenches are [torque, force] (DESIGN.md).
+
+The hot-path RNEA is unrolled over tree DEPTH (level-batched gathers /
+scatter-adds, see kinematics.py's graph-size note): ANYmal's four legs
+advance in lockstep per level instead of 13 sequential body steps, which
+keeps the XLA graph — and with it the jitted solver's compile time —
+small, while vmap supplies batching over scenarios/stages. The original
+body-unrolled implementation is kept as `rnea_unrolled` (test oracle).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import lie
-from .kinematics import body_poses, frame_positions, local_transforms
+from .kinematics import (body_poses, body_poses_stacked, frame_positions,
+                         local_transforms, local_transforms_stacked,
+                         tree_levels)
 from .model import FREE, PRISMATIC, REVOLUTE, RobotModel, integrate
 
 
@@ -97,17 +106,146 @@ def _ad_motion_matrix_inv(R, p):
 
 
 # ---------------------------------------------------------------------------
-# RNEA
+# Batched (per-level) spatial algebra helpers: leading axis = bodies-in-level
 # ---------------------------------------------------------------------------
 
-def rnea(model: RobotModel, q, v, a, contact_frames=(), f_world=None):
+def _ad_inv_motion_b(R, p, m):
+    """Motion vectors parent->child coords, batched: (n,3,3),(n,3),(n,6)."""
+    w, v = m[..., :3], m[..., 3:]
+    wi = lie.mtv3(R, w)
+    vi = lie.mtv3(R, v - jnp.cross(p, w))
+    return jnp.concatenate([wi, vi], axis=-1)
+
+
+def _ad_force_b(R, p, f):
+    """Wrenches child->parent coords, batched."""
+    n_, fo = f[..., :3], f[..., 3:]
+    Rf = lie.mv3(R, fo)
+    Rn = lie.mv3(R, n_)
+    return jnp.concatenate([Rn + jnp.cross(p, Rf), Rf], axis=-1)
+
+
+def _cross_motion_b(m1, m2):
+    w1, v1 = m1[..., :3], m1[..., 3:]
+    w2, v2 = m2[..., :3], m2[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w1, w2), jnp.cross(w1, v2) + jnp.cross(v1, w2)], axis=-1)
+
+
+def _cross_force_b(m, f):
+    w, v = m[..., :3], m[..., 3:]
+    n_, fo = f[..., :3], f[..., 3:]
+    return jnp.concatenate(
+        [jnp.cross(w, n_) + jnp.cross(v, fo), jnp.cross(w, fo)], axis=-1)
+
+
+def _apply_inertia_b(mass, c, Ic, m):
+    """Spatial momenta h = I6 @ m, batched over bodies: mass (n,), c (n,3),
+    Ic (n,3,3), m (n,6)."""
+    w, v = m[..., :3], m[..., 3:]
+    p_lin = mass[:, None] * (v + jnp.cross(w, c))
+    L = lie.mv3(Ic, w) + jnp.cross(c, p_lin)
+    return jnp.concatenate([L, p_lin], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# RNEA (level-batched hot path)
+# ---------------------------------------------------------------------------
+
+def _level_meta(model: RobotModel, idx):
+    """Static per-level gather arrays (numpy) + the stacked 1-dof motion
+    subspaces for the bodies in `idx`."""
+    par = np.asarray([model.parent[i] for i in idx], dtype=np.int32)
+    vo = np.asarray([model.v_offset[i] for i in idx], dtype=np.int32)
+    from .kinematics import _axis_s6
+    s6 = _axis_s6(model, idx)
+    return par, vo, s6
+
+
+def rnea(model: RobotModel, q, v, a, contact_frames=(), f_world=None,
+         no_gravity: bool = False):
     """Inverse dynamics tau = ID(q, v, a) - sum_i J_i^T f_i.
 
     Returns the full (nv,) generalized force; for a floating base the first
     6 rows are the passive base wrench (zero along any physical motion).
     External point forces `f_world[i]` (world coords, (nc, 3)) act at
     `contact_frames[i]` (static frame ids), applied directly in the backward
-    pass (no Jacobian materialization).
+    pass (no Jacobian materialization). Level-batched: O(depth) graph.
+
+    no_gravity (static): drop the gravity bias — RNEA(q,v,a) − RNEA(q,0,0)
+    when v = 0 collapses to one pass (M a − Jᵀ f), used by the impulse
+    implicit-derivative sweep.
+    """
+    dtype = q.dtype
+    nb = model.nbodies
+    Rl, pl = local_transforms_stacked(model, q)
+    levels = tree_levels(model)
+    g_vec = jnp.zeros(3, dtype=dtype) if no_gravity else -model.gravity
+    a0 = jnp.concatenate([jnp.zeros(3, dtype=dtype), g_vec])
+
+    V = jnp.zeros((nb, 6), dtype)
+    A = jnp.zeros((nb, 6), dtype)
+
+    # roots: vp = 0, ap = a0 (gravity trick)
+    for i in levels[0]:
+        jt = model.joint_types[i]
+        vo = model.v_offset[i]
+        nd = 6 if jt == FREE else 1
+        S = _motion_subspace(jt, model.joint_axis[i], dtype)
+        vj = S @ v[vo:vo + nd]
+        aj = S @ a[vo:vo + nd]
+        acc = _ad_inv_motion(Rl[i], pl[i], a0) + aj + _cross_motion(vj, vj)
+        V = V.at[i].set(vj)
+        A = A.at[i].set(acc)
+
+    for idx in levels[1:]:
+        par, vo, s6 = _level_meta(model, idx)
+        vj = s6 * v[vo][:, None]
+        aj = s6 * a[vo][:, None]
+        Ri, pi = Rl[idx], pl[idx]
+        vel = _ad_inv_motion_b(Ri, pi, V[par]) + vj
+        acc = (_ad_inv_motion_b(Ri, pi, A[par]) + aj
+               + _cross_motion_b(vel, vj))
+        V = V.at[idx].set(vel)
+        A = A.at[idx].set(acc)
+
+    # body wrenches — fully parallel over bodies
+    F = (_apply_inertia_b(model.mass, model.com, model.inertia, A)
+         + _cross_force_b(V, _apply_inertia_b(model.mass, model.com,
+                                              model.inertia, V)))
+
+    if contact_frames:
+        Rw, pw = body_poses_stacked(model, q)
+        fb = np.asarray([model.frame_body[f] for f in contact_frames],
+                        dtype=np.int32)
+        fp = model.frame_pos[np.asarray(contact_frames, dtype=np.int32)]
+        Rb, pb = Rw[fb], pw[fb]
+        pf = pb + lie.mv3(Rb, fp)
+        n_w = jnp.cross(pf - pb, f_world)
+        wrench = jnp.concatenate(
+            [lie.mtv3(Rb, n_w), lie.mtv3(Rb, f_world)], axis=1)
+        F = F.at[fb].add(-wrench)
+
+    # backward pass: deepest level first; scatter-add into parents
+    tau = jnp.zeros(model.nv, dtype=dtype)
+    for idx in levels[:0:-1]:
+        par, vo, s6 = _level_meta(model, idx)
+        fi = F[idx]
+        tau = tau.at[vo].set(jnp.sum(s6 * fi, axis=1))
+        F = F.at[par].add(_ad_force_b(Rl[idx], pl[idx], fi))
+    for i in levels[0]:
+        jt = model.joint_types[i]
+        vo = model.v_offset[i]
+        nd = 6 if jt == FREE else 1
+        S = _motion_subspace(jt, model.joint_axis[i], dtype)
+        tau = tau.at[vo:vo + nd].set(S.T @ F[i])
+    return tau
+
+
+def rnea_unrolled(model: RobotModel, q, v, a, contact_frames=(),
+                  f_world=None):
+    """Body-unrolled RNEA — independent implementation kept as the test
+    oracle for the level-batched `rnea` (two-algorithm cross-check).
     """
     dtype = q.dtype
     nb = model.nbodies

@@ -2,13 +2,22 @@
 
 TPU-native replacement for the reference's Pinocchio kinematics calls
 (idocp `robot/robot.hpp`: updateKinematics, framePosition, frameJacobian;
-SURVEY.md L1). All functions are pure, unrolled over the static topology,
-and take manifold derivatives via tangent-space autodiff.
+SURVEY.md L1). All functions are pure and take manifold derivatives via
+tangent-space autodiff.
+
+Graph-size discipline (the round-2 compile-time fix): recursions over the
+kinematic tree are unrolled over tree DEPTH, not over bodies — each level
+processes all its bodies as one batched gather/compute/scatter step
+(ANYmal: 4 levels x 4 legs instead of 13 sequential bodies). The XLA
+graph is O(depth) while the runtime work stays fully vectorized across
+sibling chains; autodiff (jvp/jacfwd) composes through the same compact
+graph, which is what keeps the jitted solver's compile time bounded.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import lie
 from .model import FREE, PRISMATIC, REVOLUTE, RobotModel, integrate
@@ -28,8 +37,102 @@ def joint_transform(jt: int, axis, qi):
     raise ValueError(f"unknown joint type {jt}")
 
 
+# ---------------------------------------------------------------------------
+# Static topology metadata (from the model's static tuples; numpy only)
+# ---------------------------------------------------------------------------
+
+def tree_levels(model: RobotModel):
+    """Bodies grouped by tree depth: a tuple of np index arrays. Level 0
+    holds the world-rooted bodies; every body's parent is in a strictly
+    shallower level. All non-FREE bodies must be 1-dof (REVOLUTE/PRISMATIC);
+    a FREE joint may only appear at the root."""
+    depth = []
+    for i, p in enumerate(model.parent):
+        depth.append(0 if p < 0 else depth[p] + 1)
+        if model.joint_types[i] == FREE and p >= 0:
+            raise NotImplementedError("FREE joint below the root")
+    nlev = max(depth) + 1 if depth else 0
+    return tuple(
+        np.asarray([i for i in range(model.nbodies) if depth[i] == lv],
+                   dtype=np.int32)
+        for lv in range(nlev))
+
+
+def _axis_s6(model: RobotModel, idx):
+    """(len(idx), 6) motion-subspace vectors of 1-dof bodies: [axis, 0] for
+    revolute, [0, axis] for prismatic."""
+    rows = []
+    for i in idx:
+        ax = model.joint_axis[i]
+        z = jnp.zeros_like(ax)
+        if model.joint_types[i] == REVOLUTE:
+            rows.append(jnp.concatenate([ax, z]))
+        elif model.joint_types[i] == PRISMATIC:
+            rows.append(jnp.concatenate([z, ax]))
+        else:
+            raise ValueError("1-dof body expected")
+    return jnp.stack(rows)
+
+
+def local_transforms_stacked(model: RobotModel, q):
+    """Per-body pose relative to its parent body, stacked: (nb,3,3), (nb,3).
+    X_pc = X_tree * X_joint. No tree recursion — fully parallel over bodies."""
+    nb = model.nbodies
+    dtype = q.dtype
+    Rl = jnp.zeros((nb, 3, 3), dtype)
+    pl = jnp.zeros((nb, 3), dtype)
+
+    one_dof = np.asarray([i for i in range(nb)
+                          if model.joint_types[i] != FREE], dtype=np.int32)
+    free = np.asarray([i for i in range(nb)
+                       if model.joint_types[i] == FREE], dtype=np.int32)
+
+    for i in free:  # at most one (the root)
+        qo = model.q_offset[i]
+        Rj, pj = joint_transform(FREE, model.joint_axis[i], q[qo:qo + 7])
+        Rl = Rl.at[i].set(model.jpl_rot[i] @ Rj)
+        pl = pl.at[i].set(model.jpl_pos[i] + model.jpl_rot[i] @ pj)
+
+    if one_dof.size:
+        qo = np.asarray([model.q_offset[i] for i in one_dof])
+        rev = jnp.asarray([model.joint_types[i] == REVOLUTE
+                           for i in one_dof])
+        ax = model.joint_axis[one_dof]
+        qi = q[qo]                                      # (n1,)
+        Rrev = lie.so3_exp(ax * qi[:, None])            # (n1,3,3)
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), Rrev.shape)
+        Rj = jnp.where(rev[:, None, None], Rrev, eye)
+        pj = jnp.where(rev[:, None], jnp.zeros_like(ax), ax * qi[:, None])
+        Rt = model.jpl_rot[one_dof]
+        pt = model.jpl_pos[one_dof]
+        Rl = Rl.at[one_dof].set(lie.mm3(Rt, Rj))
+        pl = pl.at[one_dof].set(pt + lie.mv3(Rt, pj))
+    return Rl, pl
+
+
+def body_poses_stacked(model: RobotModel, q):
+    """World pose of every body, stacked (nb,3,3), (nb,3) — level-unrolled."""
+    Rl, pl = local_transforms_stacked(model, q)
+    levels = tree_levels(model)
+    Rw = jnp.zeros_like(Rl)
+    pw = jnp.zeros_like(pl)
+    lv0 = levels[0]
+    Rw = Rw.at[lv0].set(Rl[lv0])
+    pw = pw.at[lv0].set(pl[lv0])
+    for idx in levels[1:]:
+        par = np.asarray([model.parent[i] for i in idx], dtype=np.int32)
+        Rp, pp = Rw[par], pw[par]
+        Rw = Rw.at[idx].set(lie.mm3(Rp, Rl[idx]))
+        pw = pw.at[idx].set(pp + lie.mv3(Rp, pl[idx]))
+    return Rw, pw
+
+
+# --- legacy list-returning variants (test oracles: crba, cross-checks) ----
+
 def local_transforms(model: RobotModel, q):
-    """Per-body pose relative to its parent body: X_pc = X_tree * X_joint."""
+    """Per-body pose relative to its parent body: X_pc = X_tree * X_joint.
+    List-returning unrolled variant (oracle/tests; hot path uses
+    local_transforms_stacked)."""
     Rs, ps = [], []
     for i, jt in enumerate(model.joint_types):
         qo = model.q_offset[i]
@@ -42,7 +145,8 @@ def local_transforms(model: RobotModel, q):
 
 
 def body_poses(model: RobotModel, q):
-    """World pose (R, p) of every body frame. Returns (list, list)."""
+    """World pose (R, p) of every body frame. Returns (list, list).
+    Unrolled variant (oracle/tests)."""
     Rl, pl = local_transforms(model, q)
     Rw, pw = [], []
     for i in range(model.nbodies):
@@ -56,11 +160,15 @@ def body_poses(model: RobotModel, q):
     return Rw, pw
 
 
+# ---------------------------------------------------------------------------
+# Frame quantities (hot path — all via the stacked level-based FK)
+# ---------------------------------------------------------------------------
+
 def frame_pose(model: RobotModel, q, frame_id: int):
-    Rw, pw = body_poses(model, q)
+    Rw, pw = body_poses_stacked(model, q)
     b = model.frame_body[frame_id]
     R = Rw[b] @ model.frame_rot[frame_id]
-    p = pw[b] + jnp.einsum("...ij,...j->...i", Rw[b], model.frame_pos[frame_id])
+    p = pw[b] + Rw[b] @ model.frame_pos[frame_id]
     return R, p
 
 
@@ -70,13 +178,10 @@ def frame_position(model: RobotModel, q, frame_id: int):
 
 def frame_positions(model: RobotModel, q, frame_ids):
     """Stacked world positions of several frames, shape (len(frame_ids), 3)."""
-    Rw, pw = body_poses(model, q)
-    out = []
-    for fid in frame_ids:
-        b = model.frame_body[fid]
-        out.append(pw[b] + jnp.einsum("...ij,...j->...i", Rw[b],
-                                      model.frame_pos[fid]))
-    return jnp.stack(out, axis=-2)
+    Rw, pw = body_poses_stacked(model, q)
+    fb = np.asarray([model.frame_body[f] for f in frame_ids], dtype=np.int32)
+    fp = model.frame_pos[np.asarray(frame_ids, dtype=np.int32)]
+    return pw[fb] + lie.mv3(Rw[fb], fp)
 
 
 def frame_velocity(model: RobotModel, q, v, frame_id: int):
@@ -107,6 +212,26 @@ def frame_accelerations(model: RobotModel, q, v, a, frame_ids):
     return acc
 
 
+def frame_pva(model: RobotModel, q, v, a, frame_ids):
+    """(positions, velocities, classical accelerations) of frame origins
+    from ONE jvp tower — the innermost primal is the position and the
+    first-order primal is the velocity, so the Baumgarte residual costs a
+    single 4-copy FK graph instead of the 7 copies that separate
+    positions/velocities/accelerations calls would trace (compile-time
+    discipline, see the module docstring)."""
+    zero = jnp.zeros((model.nv,), dtype=q.dtype)
+
+    def pos_vel(e, vv):
+        p, dp = jax.jvp(
+            lambda ee: frame_positions(model, integrate(model, q, ee),
+                                       frame_ids),
+            (e,), (vv,))
+        return p, dp
+
+    (pos, vel), (_, acc) = jax.jvp(pos_vel, (zero, v), (v, a))
+    return pos, vel, acc
+
+
 def frame_linear_jacobian(model: RobotModel, q, frame_id: int):
     """(3, nv) world-frame linear-velocity Jacobian of the frame origin
     (tangent-space derivative: v_f = J(q) @ v for any generalized v)."""
@@ -126,19 +251,13 @@ def frame_linear_jacobians(model: RobotModel, q, frame_ids):
 
 def com(model: RobotModel, q):
     """World center of mass (reference: Robot::CoM via pinocchio)."""
-    Rw, pw = body_poses(model, q)
-    total = jnp.zeros(3, dtype=q.dtype)
-    for i in range(model.nbodies):
-        ci = pw[i] + jnp.einsum("...ij,...j->...i", Rw[i], model.com[i])
-        total = total + model.mass[i] * ci
-    return total / jnp.sum(model.mass)
+    Rw, pw = body_poses_stacked(model, q)
+    ci = pw + lie.mv3(Rw, model.com)
+    return jnp.sum(model.mass[:, None] * ci, axis=0) / jnp.sum(model.mass)
 
 
 def potential_energy(model: RobotModel, q):
     """Total gravitational PE (oracle for gravity-torque tests)."""
-    Rw, pw = body_poses(model, q)
-    pe = jnp.zeros((), dtype=q.dtype)
-    for i in range(model.nbodies):
-        ci = pw[i] + jnp.einsum("...ij,...j->...i", Rw[i], model.com[i])
-        pe = pe - model.mass[i] * jnp.dot(model.gravity, ci)
-    return pe
+    Rw, pw = body_poses_stacked(model, q)
+    ci = pw + lie.mv3(Rw, model.com)
+    return -jnp.sum(model.mass * (ci @ model.gravity))

@@ -130,6 +130,26 @@ def sincc(theta2):
          1.0 / 39916800.0))
 
 
+def mm3(A, B):
+    """(...,3,3) @ (...,3,3) without dot_general. XLA's transpose-into-dot
+    folding miscompiles (RET_CHECK abort in hlo_computation.cc) batched
+    small dots with 3+ batch dims — the shape the level-batched FK hits
+    under nested vmap (scenario x line-search x stage) — so all 3x3 block
+    algebra on the hot path is expressed elementwise; for 3x3 blocks the
+    VPU path is at least as fast as a degenerate MXU dot anyway."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def mv3(R, v):
+    """(...,3,3) @ (...,3) without dot_general (see mm3)."""
+    return jnp.sum(R * v[..., None, :], axis=-1)
+
+
+def mtv3(R, v):
+    """R^T @ v for (...,3,3) x (...,3) without dot_general (see mm3)."""
+    return jnp.sum(R * v[..., :, None], axis=-2)
+
+
 def hat(w):
     """3-vector -> skew-symmetric matrix, hat(w) @ x == cross(w, x)."""
     zero = jnp.zeros_like(w[..., 0])
@@ -250,8 +270,8 @@ def se3_exp(xi):
     theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
-    V = eye + cosc(theta2) * W + sincc(theta2) * (W @ W)
-    p = jnp.einsum("...ij,...j->...i", V, v)
+    V = eye + cosc(theta2) * W + sincc(theta2) * mm3(W, W)
+    p = mv3(V, v)
     return quat_exp(w), p
 
 
@@ -274,8 +294,8 @@ def se3_log(q, p):
         (1.0 - 0.5 * A / jnp.where(small, 1.0, B))
         / jnp.where(small, 1.0, theta2),
     )
-    Vinv = eye - 0.5 * W + coef * (W @ W)
-    v = jnp.einsum("...ij,...j->...i", Vinv, p)
+    Vinv = eye - 0.5 * W + coef * mm3(W, W)
+    v = mv3(Vinv, p)
     return jnp.concatenate([w, v], axis=-1)
 
 

@@ -11,14 +11,20 @@ trials are tiny value-only stage evaluations) and the largest acceptable
 step is selected with a masked argmax — same accepted iterate, one fused
 kernel, no host round trips.
 
-Acceptance is the standard (per-update) filter rule: a trial (cost_t,
-viol_t) is acceptable against the current point (cost_0, viol_0) iff it
-improves either measure by a margin:
+Acceptance is the Fletcher–Leyffer filter rule: a trial (cost_t, viol_t)
+is acceptable iff, against the current point (cost_0, viol_0) AND against
+every remembered filter entry (fc_j, fv_j), it improves either measure by
+a margin:
 
-    cost_t <= cost_0 - gamma * viol_0     or    viol_t <= (1 - gamma) * viol_0
+    cost_t <= fc_j - gamma * fv_j     or    viol_t <= (1 - gamma) * fv_j
 
-If no trial is acceptable the smallest step in the grid is taken (the
-reference similarly gives up at alpha_min and accepts).
+The filter memory (reference: LineSearchFilter's filter set) is a fixed-
+size ring buffer of past iterates carried in the Solution pytree across
+Newton iterations (per scenario under vmap); +inf rows are empty slots
+and accept everything. It prevents cost/violation cycling — the failure
+mode of single-point acceptance in the f32 contact regime. If no trial is
+acceptable the smallest step in the grid is taken (the reference
+similarly gives up at alpha_min and accepts).
 """
 from __future__ import annotations
 
@@ -31,17 +37,30 @@ def trial_alphas(alpha_max, n: int, dtype):
     return alpha_max * (2.0 ** -jnp.arange(n, dtype=dtype))
 
 
+def _acceptable(costs, viols, fc, fv, gamma, margin):
+    """(K,) mask: trial k improves on the pair (fc, fv) (scalars or (F,))."""
+    if jnp.ndim(fc):
+        c = costs[:, None] <= fc[None, :] - gamma * fv[None, :] - margin
+        h = viols[:, None] <= (1.0 - gamma) * fv[None, :] - margin
+        return jnp.all(c | h, axis=1)
+    improves_cost = costs <= fc - gamma * fv - margin
+    improves_viol = viols <= (1.0 - gamma) * fv - margin
+    return improves_cost | improves_viol
+
+
 def filter_select(alphas, costs, viols, cost0, viol0, gamma=1e-5,
-                  margin=0.0):
+                  margin=0.0, filter_cost=None, filter_viol=None):
     """Pick the largest acceptable alpha from the evaluated grid.
 
-    All arguments are arrays of shape (K,) except the scalars
-    cost0/viol0/gamma/margin. Returns (alpha, accepted_any).
+    alphas/costs/viols: (K,); cost0/viol0/gamma/margin scalars;
+    filter_cost/filter_viol: optional (F,) filter memory (+inf = empty).
+    Returns (alpha, accepted_any).
     """
     finite = jnp.isfinite(costs) & jnp.isfinite(viols)
-    improves_cost = costs <= cost0 - gamma * viol0 - margin
-    improves_viol = viols <= (1.0 - gamma) * viol0 - margin
-    ok = finite & (improves_cost | improves_viol)
+    ok = finite & _acceptable(costs, viols, cost0, viol0, gamma, margin)
+    if filter_cost is not None and filter_cost.shape[0]:
+        ok = ok & _acceptable(costs, viols, filter_cost, filter_viol,
+                              gamma, margin)
     # alphas are sorted descending -> first acceptable index is the largest
     idx = jnp.argmax(ok)
     any_ok = jnp.any(ok)
@@ -53,8 +72,18 @@ def filter_select(alphas, costs, viols, cost0, viol0, gamma=1e-5,
     return alpha, any_ok
 
 
+def filter_insert(filter_cost, filter_viol, filter_ptr, cost0, viol0):
+    """Ring-buffer insert of the (pre-step) iterate into the filter memory."""
+    F = filter_cost.shape[0]
+    if F == 0:
+        return filter_cost, filter_viol, filter_ptr
+    fc = filter_cost.at[filter_ptr].set(cost0)
+    fv = filter_viol.at[filter_ptr].set(viol0)
+    return fc, fv, (filter_ptr + 1) % F
+
+
 def search(evaluate_step, alpha_max, n_trials: int, cost0, viol0,
-           gamma=1e-5, margin=0.0):
+           gamma=1e-5, margin=0.0, filter_cost=None, filter_viol=None):
     """Run the parallel-grid filter search.
 
     evaluate_step(alpha) -> (cost_plus_barrier, violation) for a trial
@@ -62,4 +91,5 @@ def search(evaluate_step, alpha_max, n_trials: int, cost0, viol0,
     """
     alphas = trial_alphas(alpha_max, n_trials, jnp.asarray(cost0).dtype)
     costs, viols = jax.vmap(evaluate_step)(alphas)
-    return filter_select(alphas, costs, viols, cost0, viol0, gamma, margin)
+    return filter_select(alphas, costs, viols, cost0, viol0, gamma, margin,
+                         filter_cost, filter_viol)

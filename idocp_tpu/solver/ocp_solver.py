@@ -28,7 +28,13 @@ class OCPSolver:
         self.model = model
         self.cm = contact_model
         self.cost = tuple(cost)
-        self.constraints = tuple(constraints)
+        # impulse-Λ components (ImpulseFrictionCone etc.) chain through the
+        # impulse-map Jacobians inside the stage builder, not the named
+        # space — split them out of the regular component list here.
+        self.constraints = tuple(
+            c for c in constraints if not getattr(c, "impulse", False))
+        self.impulse_constraints = tuple(
+            c for c in constraints if getattr(c, "impulse", False))
         self.T, self.N = float(T), int(N)
         self.options = options
         self.dtype = dtype
@@ -48,7 +54,8 @@ class OCPSolver:
                     model, cm, self.cost, self.constraints, options,
                     tk, dtk, qk, vk, ak, fk, uk, qn, vn, sl, dl,
                     ca, cp, im, ic, None, swc, swp, ctx,
-                    impulse_cost=impulse_cost)
+                    impulse_cost=impulse_cost,
+                    impulse_constraints=self.impulse_constraints)
 
             return jax.vmap(one)(
                 ts, sched.dt, sol.q[:N_], sol.v[:N_], sol.a, sol.f, sol.u,
@@ -77,7 +84,8 @@ class OCPSolver:
                     model, cm, self.cost, self.constraints, options,
                     tk, dtk, qk, vk, ak, fk, uk, qn, vn, sl,
                     ca, cp, im, ic, swc, swp, ctx,
-                    impulse_cost=impulse_cost)
+                    impulse_cost=impulse_cost,
+                    impulse_constraints=self.impulse_constraints)
 
             c_st, v_st = jax.vmap(one)(
                 ts, sched.dt, sol.q[:N_], sol.v[:N_], sol.a, sol.f, sol.u,
@@ -135,6 +143,30 @@ class OCPSolver:
                                                options.min_slack)
                 slack[comp.name] = s_
                 dual[comp.name] = d_
+            if self.impulse_constraints:
+                from ..ocp.state_equation import impulse_map
+                cm_ = self.cm
+                model_ = self.model
+
+                def lam_at(qk, vk, ic):
+                    _, lam = impulse_map(model_, cm_, qk, vk, ic)
+                    return lam
+
+                lam_raw = jax.vmap(lam_at)(sol.q[:N_], sol.v[:N_],
+                                           sched.imp_contact)
+                m_st = sched.imp_mask.astype(dtype)
+                lam_g = m_st[:, None] * lam_raw
+                gates = m_st[:, None] * sched.imp_contact.astype(dtype)
+                for comp in self.impulse_constraints:
+                    g_stages = jax.vmap(
+                        lambda l, gt, comp=comp: comp.evaluate_lam(l, gt)[0]
+                    )(lam_g, gates)
+                    g_term = jnp.full((1, comp.dim), -1.0, dtype)
+                    g_all = jnp.concatenate([g_stages, g_term], axis=0)
+                    s_, d_ = pdipm.init_slack_dual(g_all, options.barrier,
+                                                   options.min_slack)
+                    slack[comp.name] = s_
+                    dual[comp.name] = d_
             import dataclasses
             return dataclasses.replace(sol, slack=slack, dual=dual)
 
@@ -161,7 +193,9 @@ class OCPSolver:
             m.nq, m.nv, m.nu, cm.max_dimf, self.N,
             jnp.asarray(q0, dtype),
             None if v0 is None else jnp.asarray(v0, dtype),
-            dtype=dtype)
+            dtype=dtype,
+            filter_size=(self.options.line_search_filter_size
+                         if self.options.use_line_search else 0))
         total = float(jnp.sum(m.mass)) * 9.81
         if schedule is not None and f0 is None:
             active = np.asarray(schedule.contact_active, dtype=bool)

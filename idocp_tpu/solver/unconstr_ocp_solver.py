@@ -124,7 +124,9 @@ class UnconstrOCPSolver:
         self.solution = zero_solution(
             m.nq, m.nv, m.nu, 0, self.N, jnp.asarray(q0, self.dtype),
             None if v0 is None else jnp.asarray(v0, self.dtype),
-            dtype=self.dtype)
+            dtype=self.dtype,
+            filter_size=(self.options.line_search_filter_size
+                         if self.options.use_line_search else 0))
 
     def init_constraints(self, t=0.0):
         """reference: OCPSolver::initConstraints."""

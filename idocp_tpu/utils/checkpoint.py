@@ -9,13 +9,15 @@ import numpy as np
 
 from ..ocp.data import Solution
 
-_ARRAY_FIELDS = ("q", "v", "a", "f", "u", "lmd", "gmm", "beta", "mu", "xi")
+_ARRAY_FIELDS = ("q", "v", "a", "f", "u", "lmd", "gmm", "beta", "mu", "xi",
+                 "filter_cost", "filter_viol")
 
 
 def save_solution(path: str, sol: Solution) -> None:
     """Serialize a Solution (or a batched Solution) to an .npz file."""
     payload = {name: np.asarray(getattr(sol, name))
                for name in _ARRAY_FIELDS}
+    payload["filter_ptr"] = np.asarray(sol.filter_ptr)
     for k, v in sol.slack.items():
         payload[f"slack.{k}"] = np.asarray(v)
     for k, v in sol.dual.items():
@@ -30,6 +32,8 @@ def load_solution(path: str, dtype=None) -> Solution:
         cast = (lambda x: jnp.asarray(x, dtype)) if dtype is not None \
             else jnp.asarray
         kwargs = {name: cast(data[name]) for name in _ARRAY_FIELDS}
+        # integer ring pointer: never dtype-cast
+        kwargs["filter_ptr"] = jnp.asarray(data["filter_ptr"], jnp.int32)
         slack = {k[len("slack."):]: cast(data[k]) for k in data.files
                  if k.startswith("slack.")}
         dual = {k[len("dual."):]: cast(data[k]) for k in data.files

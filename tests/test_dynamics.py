@@ -149,3 +149,39 @@ def test_frame_velocity_acceleration_consistency(anymal):
               - np.asarray(kinematics.frame_velocities(m, qm, vm, fids))
               ) / (2 * dt)
     np.testing.assert_allclose(np.asarray(acc), acc_fd, atol=1e-5)
+
+
+def test_rnea_level_batched_vs_unrolled(robot_model):
+    """Two-algorithm cross-check: the level-batched hot-path RNEA (O(depth)
+    graph) must match the body-unrolled oracle, with and without external
+    contact forces (SURVEY.md §4 two-algorithm pattern)."""
+    m = robot_model
+    key = jax.random.PRNGKey(11)
+    q = model_mod.random_configuration(m, key)
+    v = jax.random.normal(jax.random.fold_in(key, 1), (m.nv,))
+    a = jax.random.normal(jax.random.fold_in(key, 2), (m.nv,))
+    t1 = dynamics.rnea(m, q, v, a)
+    t2 = dynamics.rnea_unrolled(m, q, v, a)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                               rtol=1e-10, atol=1e-10)
+    if len(m.frame_names):
+        fids = tuple(range(len(m.frame_names)))
+        fw = jax.random.normal(jax.random.fold_in(key, 3), (len(fids), 3))
+        t1 = dynamics.rnea(m, q, v, a, fids, fw)
+        t2 = dynamics.rnea_unrolled(m, q, v, a, fids, fw)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                                   rtol=1e-10, atol=1e-10)
+
+
+def test_rnea_no_gravity_identity(robot_model):
+    """RNEA(q,0,a) − RNEA(q,0,0) == no-gravity RNEA(q,0,a) — the identity
+    the impulse implicit-derivative sweep relies on."""
+    m = robot_model
+    key = jax.random.PRNGKey(12)
+    q = model_mod.random_configuration(m, key)
+    z = jnp.zeros(m.nv)
+    a = jax.random.normal(jax.random.fold_in(key, 1), (m.nv,))
+    lhs = dynamics.rnea(m, q, z, a) - dynamics.rnea(m, q, z, z)
+    rhs = dynamics.rnea(m, q, z, a, no_gravity=True)
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                               rtol=1e-8, atol=1e-10)

@@ -50,6 +50,51 @@ def test_filter_select_fallback_smallest():
     assert float(alpha) == 0.25
 
 
+def test_filter_memory_blocks_revisited_region():
+    """A trial acceptable vs the current point but dominated by a filter
+    entry is rejected (Fletcher–Leyffer memory; reference:
+    line_search_filter.hpp; VERDICT r2 next-item #4)."""
+    alphas = jnp.asarray([1.0, 0.5])
+    costs = jnp.asarray([0.5, 3.0])    # alpha=1 improves on current cost
+    viols = jnp.asarray([1.9, 0.05])   # alpha=0.5 improves viol
+    # filter remembers a past iterate (0.4, 1.0): the alpha=1 trial
+    # (cost 0.5 > 0.4, viol 1.9 > 1.0) is dominated -> rejected
+    fc = jnp.asarray([0.4, jnp.inf])
+    fv = jnp.asarray([1.0, jnp.inf])
+    alpha, ok = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0,
+                                 filter_cost=fc, filter_viol=fv)
+    assert bool(ok)
+    assert float(alpha) == 0.5
+
+    # without the memory the same grid would accept alpha=1
+    alpha2, ok2 = ls.filter_select(alphas, costs, viols, cost0=1.0,
+                                   viol0=2.0)
+    assert bool(ok2) and float(alpha2) == 1.0
+
+
+def test_filter_memory_empty_slots_accept_everything():
+    alphas = jnp.asarray([1.0])
+    costs = jnp.asarray([0.5])
+    viols = jnp.asarray([1.0])
+    fc = jnp.full((4,), jnp.inf)
+    fv = jnp.full((4,), jnp.inf)
+    alpha, ok = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0,
+                                 filter_cost=fc, filter_viol=fv)
+    assert bool(ok) and float(alpha) == 1.0
+
+
+def test_filter_insert_ring_buffer():
+    fc = jnp.full((2,), jnp.inf)
+    fv = jnp.full((2,), jnp.inf)
+    ptr = jnp.zeros((), jnp.int32)
+    fc, fv, ptr = ls.filter_insert(fc, fv, ptr, 1.0, 2.0)
+    assert int(ptr) == 1 and float(fc[0]) == 1.0 and float(fv[0]) == 2.0
+    fc, fv, ptr = ls.filter_insert(fc, fv, ptr, 3.0, 4.0)
+    assert int(ptr) == 0 and float(fc[1]) == 3.0
+    fc, fv, ptr = ls.filter_insert(fc, fv, ptr, 5.0, 6.0)  # wraps
+    assert int(ptr) == 1 and float(fc[0]) == 5.0 and float(fv[0]) == 6.0
+
+
 def test_search_vmaps_trials():
     calls = []
 

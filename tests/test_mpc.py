@@ -1,0 +1,147 @@
+"""Closed-loop MPC tests: receding horizon with events entering/leaving,
+batched with per-scenario gait phases (reference: the ANYmal MPC examples
+ARE the product — idocp examples/anymal/mpc_benchmark.cpp, SURVEY.md §3.3;
+VERDICT r2 next-items #5).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from idocp_tpu.constraints.components import (
+    FrictionCone, ImpulseFrictionCone, ImpulseNormalForce,
+    JointTorquesLowerLimit, JointTorquesUpperLimit)
+from idocp_tpu.cost.components import ConfigurationSpaceCost
+from idocp_tpu.models import anymal
+from idocp_tpu.parallel.batch import batch_solution
+from idocp_tpu.robot import kinematics
+from idocp_tpu.robot.contact import ContactModel
+from idocp_tpu.solver.mpc import MPC, BatchedMPC, TrotGait
+from idocp_tpu.solver.ocp_solver import OCPSolver
+from idocp_tpu.solver.options import SolverOptions
+
+
+def _make_solver(anymal_model, N=8, T=0.4, impulse_cons=False,
+                 dtype=jnp.float64):
+    m = anymal_model
+    cm = ContactModel(frame_ids=(0, 1, 2, 3), kp=25.0, kd=10.0)
+    q0 = anymal.standing_configuration(m, dtype=dtype)
+    cost = [ConfigurationSpaceCost(
+        q_weight=jnp.asarray([0.0] * 3 + [10.0] * 3 + [1.0] * 12, dtype),
+        v_weight=jnp.ones(18, dtype),
+        a_weight=1e-3 * jnp.ones(18, dtype),
+        u_weight=1e-2 * jnp.ones(12, dtype),
+        qf_weight=jnp.asarray([0.0] * 3 + [10.0] * 3 + [1.0] * 12, dtype),
+        vf_weight=jnp.ones(18, dtype), q_ref=q0)]
+    cons = [JointTorquesLowerLimit(m), JointTorquesUpperLimit(m),
+            FrictionCone(m, nc=4, mu=0.7)]
+    if impulse_cons:
+        cons += [ImpulseFrictionCone(m, nc=4, mu=0.7),
+                 ImpulseNormalForce(m, nc=4)]
+    options = SolverOptions(barrier=1e-3)
+    solver = OCPSolver(m, cm, cost, cons, T=T, N=N, options=options,
+                      dtype=dtype)
+    return solver, q0
+
+
+def test_closed_loop_batched_mpc_per_scenario_gaits(anymal):
+    """>=5 control periods, events entering/leaving the horizon, B=3
+    scenarios with phase-shifted gaits through the (native when available)
+    batched discretizer. Finite costs + bounded direction norm across
+    steps; schedules genuinely differ across the batch."""
+    B = 3
+    solver, q0 = _make_solver(anymal, N=8, T=0.4)
+    feet = np.asarray(kinematics.frame_positions(anymal, q0, (0, 1, 2, 3)))
+    gait = TrotGait(swing_time=0.15, double_support_time=0.05,
+                    t_start=0.1)
+    mpc = BatchedMPC(solver, gait, feet, phase_offsets=[0.0, 0.07, 0.13])
+
+    sched0 = mpc.schedules_at(0.0)
+    assert sched0.dt.shape[0] == B
+    # phase offsets must produce genuinely different schedules
+    assert not np.array_equal(np.asarray(sched0.imp_mask[0]),
+                              np.asarray(sched0.imp_mask[1]))
+
+    solver.set_solution(q0, jnp.zeros(anymal.nv),
+                        schedule=jax.tree_util.tree_map(
+                            lambda x: x[0], sched0))
+    solver.init_constraints(jax.tree_util.tree_map(lambda x: x[0], sched0))
+    sol_b = batch_solution(solver.solution, B)
+    q_b = jnp.tile(q0[None], (B, 1))
+    v_b = jnp.zeros((B, anymal.nv))
+
+    dirnorms = []
+    for k in range(6):
+        t = 0.05 * k
+        sol_b, u0_b, stats = mpc.step(t, sol_b, q_b, v_b)
+        assert bool(jnp.isfinite(stats.cost).all()), f"step {k}"
+        assert bool(jnp.isfinite(u0_b).all())
+        dirnorms.append(np.asarray(stats.kkt_direction_norm))
+    # warm-started receding horizon must not blow up
+    assert np.max(dirnorms[-1]) < 10.0 * max(np.max(dirnorms[0]), 1.0)
+
+
+def test_impulse_constraints_on_trot(anymal):
+    """Impulse friction cone + normal-force positivity on Λ (reference:
+    impulse constraint variants, SURVEY.md §2): slack/dual live under the
+    component names, the solve stays finite, the KKT error decreases, and
+    the gated cone holds at the final iterate."""
+    from idocp_tpu.ocp.state_equation import impulse_map
+    solver, q0 = _make_solver(anymal, N=8, T=0.4, impulse_cons=True)
+    feet = np.asarray(kinematics.frame_positions(anymal, q0, (0, 1, 2, 3)))
+    gait = TrotGait(swing_time=0.15, double_support_time=0.05, t_start=0.1)
+    mpc = MPC(solver, gait, feet)
+    sched = mpc.schedule_at(0.05)
+    assert bool(np.asarray(sched.imp_mask).any()), "need a touchdown"
+
+    # slight downward base velocity: a real (nonzero) touchdown impulse.
+    # At Λ = 0 exactly the quadratic cone is degenerate (∇g = 0), which is
+    # the slowest-converging case for the interior point.
+    v0 = np.zeros(anymal.nv)
+    v0[2] = -0.05
+    v0 = jnp.asarray(v0)
+    solver.set_solution(q0, v0, schedule=sched)
+    solver.init_constraints(sched)
+    assert "impulse_friction_cone" in solver.solution.slack
+    assert "impulse_normal_force" in solver.solution.slack
+
+    kkts = []
+    for _ in range(20):
+        stats = solver.update_solution(0.05, q0, v0, sched)
+        kkts.append(float(stats.kkt_error))
+        assert np.isfinite(float(stats.cost))
+    assert np.all(np.isfinite(kkts))
+    # the degenerate cone makes this a slow solve; require overall decrease
+    assert kkts[-1] < 0.5 * kkts[0], kkts
+
+    # cone satisfied to interior-point tolerance at the impulse stage
+    sol = solver.solution
+    cm = solver.cm
+    k_imp = int(np.argmax(np.asarray(sched.imp_mask)))
+    _, lam = impulse_map(anymal, cm, sol.q[k_imp], sol.v[k_imp],
+                         sched.imp_contact[k_imp])
+    lc = np.asarray(lam).reshape(4, 3)
+    gate = np.asarray(sched.imp_contact[k_imp])
+    tol = 1e-2  # impulse-squared units; barrier=1e-3 fixed (no mu schedule)
+    for i in range(4):
+        if gate[i]:
+            assert lc[i, 2] >= -tol
+            assert (lc[i, 0] ** 2 + lc[i, 1] ** 2
+                    <= 0.49 * lc[i, 2] ** 2 + tol)
+
+
+def test_impulse_constraint_component_masking():
+    """Rows are feasible-inactive wherever the gate is off."""
+    m = None
+    comp = ImpulseFrictionCone(m, nc=2, mu=0.5)
+    lam = jnp.asarray([1.0, 0.0, 1.0, 3.0, 4.0, 1.0])
+    gate = jnp.asarray([1.0, 0.0])
+    g, J = comp.evaluate_lam(lam, gate)
+    assert g.shape == (2,)
+    np.testing.assert_allclose(np.asarray(g)[0], 1.0 - 0.25, rtol=1e-12)
+    assert float(g[1]) == -1.0
+    assert np.all(np.asarray(J)[1] == 0.0)
+    np.testing.assert_allclose(np.asarray(J)[0, :3],
+                               [2.0, 0.0, -0.5], rtol=1e-12)

