@@ -48,8 +48,9 @@ def simulate_step(m, cm, q, v, u, active, feet, dt):
 
 
 def main():
-    m = anymal.make_model()
-    cm = ContactModel(frame_ids=(0, 1, 2, 3), kp=100.0, kd=20.0)
+    m = anymal.make_model_urdf()
+    foot_ids = tuple(m.frame_id(n) for n in anymal.FOOT_FRAMES)
+    cm = ContactModel(frame_ids=foot_ids, kp=100.0, kd=20.0)
     q0 = anymal.standing_configuration(m)
     feet = np.asarray(kinematics.frame_positions(m, q0, cm.frame_ids))
     gait = TrotGait(swing_time=0.25, double_support_time=0.05,

@@ -18,8 +18,9 @@ from idocp_tpu.solver.options import SolverOptions
 
 
 def main():
-    m = anymal.make_model()
-    cm = ContactModel(frame_ids=(0, 1, 2, 3), kp=25.0, kd=10.0)
+    m = anymal.make_model_urdf()
+    foot_ids = tuple(m.frame_id(n) for n in anymal.FOOT_FRAMES)
+    cm = ContactModel(frame_ids=foot_ids, kp=25.0, kd=10.0)
     q0 = anymal.standing_configuration(m)
     feet = np.asarray(kinematics.frame_positions(m, q0, cm.frame_ids))
     cost = [ConfigurationSpaceCost(

@@ -11,7 +11,7 @@ from idocp_tpu.solver.unconstr_ocp_solver import UnconstrOCPSolver
 
 
 def main():
-    m = iiwa14.make_model()
+    m = iiwa14.make_model_urdf()
     q_ref = jnp.asarray([0.0, 0.5 * np.pi, 0.0, 0.5 * np.pi, 0.0,
                          0.5 * np.pi, 0.0])
     cost = [ConfigurationSpaceCost(

@@ -264,9 +264,17 @@ def linearize_contact_stage(
         t, dt, q, v, a, f, u, q_next, v_next, slack, dual,
         contact_active, p_ref, imp_mask, imp_contact,
         sw_mask_any, sw_contact, sw_pos, ctx=None,
-        impulse_cost=None, impulse_constraints=()) -> StageLin:
+        impulse_cost=None, impulse_constraints=(),
+        imp_quants=None) -> StageLin:
     """Linearize + condense one whole-body stage (reference:
-    SplitOCP::computeKKTSystem + ContactDynamics::condense)."""
+    SplitOCP::computeKKTSystem + ContactDynamics::condense).
+
+    imp_quants: optional precomputed (v_eff, lam, Gq, Gv, Lq, Lv) from the
+    solver's impulse-slot gather (only the few stages that can carry an
+    impulse run the implicit-derivative sweep — the per-stage default
+    recomputes it everywhere, which is 10x wasted work at N=20 horizons
+    with <=2 touchdowns).
+    """
     nv, nf, nu = model.nv, cm.max_dimf, model.nu
     nx, nw = 2 * nv, nv + nf + nu
     dtype = q.dtype
@@ -279,8 +287,11 @@ def linearize_contact_stage(
     mj = mass_and_contact_jacobian(model, cm, q)
 
     # impulse gate: post-impulse velocity + impact impulse and Jacobians
-    v_eff, lam, Gq, Gv, Lq, Lv = _impulse_quantities(
-        model, cm, q, v, imp_mask, imp_contact, mj)
+    if imp_quants is None:
+        v_eff, lam, Gq, Gv, Lq, Lv = _impulse_quantities(
+            model, cm, q, v, imp_mask, imp_contact, mj)
+    else:
+        v_eff, lam, Gq, Gv, Lq, Lv = imp_quants
 
     # ---- costs in named space
     fmask = jnp.repeat(contact_active.astype(dtype), 3)
@@ -524,7 +535,7 @@ def evaluate_contact_stage(
         t, dt, q, v, a, f, u, q_next, v_next, slack,
         contact_active, p_ref, imp_mask, imp_contact,
         sw_contact, sw_pos, ctx=None, impulse_cost=None,
-        impulse_constraints=()):
+        impulse_constraints=(), imp_values=None):
     """Value-only stage evaluation for line-search trials (reference:
     SplitOCP::stageCost + constraintViolation, used by LineSearch;
     idocp `line_search/line_search.hpp`). Returns
@@ -533,13 +544,16 @@ def evaluate_contact_stage(
     nv, nf, nu = model.nv, cm.max_dimf, model.nu
     dtype = q.dtype
 
-    # impulse gate (values only, structured solve)
-    LMi, LSi, Jmi, m3i, _ = contact_factors(model, cm, q, imp_contact)
-    dv0, lam0 = contact_solve(LMi, LSi, Jmi, jnp.zeros(nv, dtype),
-                              -Jmi @ v)
+    # impulse gate (values only, structured solve; or slot-precomputed)
     m = imp_mask.astype(dtype)
-    v_eff = v + m * dv0
-    lam = m * lam0
+    if imp_values is None:
+        LMi, LSi, Jmi, m3i, _ = contact_factors(model, cm, q, imp_contact)
+        dv0, lam0 = contact_solve(LMi, LSi, Jmi, jnp.zeros(nv, dtype),
+                                  -Jmi @ v)
+        v_eff = v + m * dv0
+        lam = m * lam0
+    else:
+        v_eff, lam = imp_values
 
     fmask = jnp.repeat(contact_active.astype(dtype), 3)
     cost = jnp.zeros((), dtype)

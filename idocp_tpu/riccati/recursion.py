@@ -130,6 +130,9 @@ def backward_recursion(P_term, s_term, stages: CondensedStage, sw_mask,
         P1, s1, pol = backward_step(P, s, cs, m, reg=reg)
         return (P1, s1), (P1, s1, pol)
 
+    # NOTE: scan unroll>1 was measured SLOWER on the v5 chip (87 -> 119 ms
+    # for the backward+forward pair at batch 256) — the per-step work is
+    # already large enough to hide loop overhead; keep the plain scan.
     (_, _), (Ps, ss, pols) = jax.lax.scan(
         step, (P_term, s_term), (stages, sw_mask), reverse=True)
     P_all = jnp.concatenate([Ps, P_term[None]], axis=0)

@@ -24,7 +24,8 @@ from .options import SolverOptions
 class OCPSolver:
     def __init__(self, model, contact_model: ContactModel, cost, constraints,
                  T, N, options: SolverOptions = SolverOptions(),
-                 dtype=jnp.float64, impulse_cost=None):
+                 dtype=jnp.float64, impulse_cost=None,
+                 max_impulse_stages: int = 4):
         self.model = model
         self.cm = contact_model
         self.cost = tuple(cost)
@@ -43,19 +44,78 @@ class OCPSolver:
         N_ = self.N
         cm = contact_model
         ctx = self._ctx
+        #: number of horizon slots that can carry an impulse map. The
+        #: impulse implicit-derivative sweep (the most expensive stage
+        #: subgraph) runs ONLY on these gathered slots instead of on every
+        #: stage — a trot horizon has <=2 touchdowns in 20 stages.
+        self.max_impulse_stages = k_imp = max(1, min(int(max_impulse_stages),
+                                                     self.N))
+
+        def _impulse_slots(sched: HorizonSchedule):
+            """(slots (k,), slot_mask (k,)): indices of the (up to k)
+            impulse stages; extra slots land on arbitrary non-impulse
+            stages with mask 0 (their gated quantities are identity)."""
+            order = jnp.argsort(jnp.logical_not(sched.imp_mask))
+            slots = order[:k_imp]
+            return slots, sched.imp_mask[slots]
+
+        def _imp_quants_all(sol, sched):
+            """Slot-gathered impulse quantities scattered to (N, ...)."""
+            from ..ocp.state_equation import mass_and_contact_jacobian
+            slots, slot_mask = _impulse_slots(sched)
+            ic_s = sched.imp_contact[slots]
+
+            def one(qk, vk, mk, ick):
+                mj = mass_and_contact_jacobian(model, cm, qk)
+                return stage_mod._impulse_quantities(
+                    model, cm, qk, vk, mk.astype(qk.dtype), ick, mj)
+
+            outs = jax.vmap(one)(sol.q[slots], sol.v[slots], slot_mask,
+                                 ic_s)
+            nv, nf = model.nv, cm.max_dimf
+            dt_ = sol.v.dtype
+            v_eff = sol.v[:N_].at[slots].set(outs[0])
+            lam = jnp.zeros((N_, nf), dt_).at[slots].set(outs[1])
+            Gq = jnp.zeros((N_, nv, nv), dt_).at[slots].set(outs[2])
+            Gv = jnp.tile(jnp.eye(nv, dtype=dt_)[None], (N_, 1, 1)
+                          ).at[slots].set(outs[3])
+            Lq = jnp.zeros((N_, nf, nv), dt_).at[slots].set(outs[4])
+            Lv = jnp.zeros((N_, nf, nv), dt_).at[slots].set(outs[5])
+            return v_eff, lam, Gq, Gv, Lq, Lv
+
+        def _imp_values_all(sol, sched):
+            """Value-only slot gather: (v_eff (N, nv), lam (N, nf))."""
+            from ..ocp.state_equation import impulse_map
+            slots, slot_mask = _impulse_slots(sched)
+
+            def one(qk, vk, mk, ick):
+                vpost, lamk = impulse_map(model, cm, qk, vk, ick)
+                mf = mk.astype(qk.dtype)
+                return vk + mf * (vpost - vk), mf * lamk
+
+            v_s, lam_s = jax.vmap(one)(sol.q[slots], sol.v[slots],
+                                       slot_mask, sched.imp_contact[slots])
+            nf = cm.max_dimf
+            v_eff = sol.v[:N_].at[slots].set(v_s)
+            lam = jnp.zeros((N_, nf), sol.v.dtype).at[slots].set(lam_s)
+            return v_eff, lam
+
+        self._imp_values_all = _imp_values_all
 
         def linearize_all(sol: Solution, t, q_meas, v_meas,
                           sched: HorizonSchedule):
             ts = t + sched.t_offset
+            iq = _imp_quants_all(sol, sched)
 
             def one(tk, dtk, qk, vk, ak, fk, uk, qn, vn, sl, dl,
-                    ca, cp, im, ic, swc, swp):
+                    ca, cp, im, ic, swc, swp, iq_k):
                 return stage_mod.linearize_contact_stage(
                     model, cm, self.cost, self.constraints, options,
                     tk, dtk, qk, vk, ak, fk, uk, qn, vn, sl, dl,
                     ca, cp, im, ic, None, swc, swp, ctx,
                     impulse_cost=impulse_cost,
-                    impulse_constraints=self.impulse_constraints)
+                    impulse_constraints=self.impulse_constraints,
+                    imp_quants=iq_k)
 
             return jax.vmap(one)(
                 ts, sched.dt, sol.q[:N_], sol.v[:N_], sol.a, sol.f, sol.u,
@@ -64,7 +124,7 @@ class OCPSolver:
                 {k: v[:N_] for k, v in sol.dual.items()},
                 sched.contact_active, sched.contact_pos,
                 sched.imp_mask, sched.imp_contact,
-                sched.sw_contact, sched.sw_pos)
+                sched.sw_contact, sched.sw_pos, iq)
 
         def terminal_fn(sol: Solution, t, sched=None):
             return stage_mod.terminal_quad(
@@ -77,15 +137,17 @@ class OCPSolver:
                          sched: HorizonSchedule):
             """(cost+barrier, L1 violation) for line-search trials."""
             ts = t + sched.t_offset
+            iv = _imp_values_all(sol, sched)
 
             def one(tk, dtk, qk, vk, ak, fk, uk, qn, vn, sl,
-                    ca, cp, im, ic, swc, swp):
+                    ca, cp, im, ic, swc, swp, iv_k):
                 return stage_mod.evaluate_contact_stage(
                     model, cm, self.cost, self.constraints, options,
                     tk, dtk, qk, vk, ak, fk, uk, qn, vn, sl,
                     ca, cp, im, ic, swc, swp, ctx,
                     impulse_cost=impulse_cost,
-                    impulse_constraints=self.impulse_constraints)
+                    impulse_constraints=self.impulse_constraints,
+                    imp_values=iv_k)
 
             c_st, v_st = jax.vmap(one)(
                 ts, sched.dt, sol.q[:N_], sol.v[:N_], sol.a, sol.f, sol.u,
@@ -93,7 +155,7 @@ class OCPSolver:
                 {k: v[:N_] for k, v in sol.slack.items()},
                 sched.contact_active, sched.contact_pos,
                 sched.imp_mask, sched.imp_contact,
-                sched.sw_contact, sched.sw_pos)
+                sched.sw_contact, sched.sw_pos, iv)
             c_t, v_t = stage_mod.evaluate_terminal(
                 model, self.cost, self.constraints, options,
                 t + self.T, sol.q[N_], sol.v[N_],

@@ -17,7 +17,7 @@ from typing import IO, Optional, Union
 import numpy as np
 
 _FIELDS = ("cost", "barrier", "alpha_primal", "alpha_dual",
-           "kkt_direction_norm", "violation", "kkt_error")
+           "kkt_direction_norm", "violation", "kkt_error", "ls_accepted")
 
 
 def stats_to_dict(stats, prefix: str = "") -> dict:
