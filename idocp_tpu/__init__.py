@@ -25,7 +25,7 @@ from .constraints.components import (
     JointVelocityLowerLimit, JointVelocityUpperLimit)
 from .hybrid.schedule import (ContactSequence, DiscreteEvent,
                               HorizonSchedule, static_schedule)
-from .ocp.data import Direction, Solution, zero_solution
+from .ocp.data import Solution, zero_solution
 from .solver.options import SolverOptions
 from .solver.ocp_solver import OCPSolver
 from .solver.unconstr_ocp_solver import UnconstrOCPSolver
@@ -48,7 +48,7 @@ __all__ = [
     "JointTorquesLowerLimit", "JointTorquesUpperLimit",
     "JointVelocityLowerLimit", "JointVelocityUpperLimit",
     "ContactSequence", "DiscreteEvent", "HorizonSchedule", "static_schedule",
-    "Direction", "Solution", "zero_solution",
+    "Solution", "zero_solution",
     "SolverOptions", "OCPSolver", "UnconstrOCPSolver",
     "ParNMPCSolver", "UnconstrParNMPCSolver", "MPC", "TrotGait",
     "BatchedSolver", "batch_solution", "make_mesh",

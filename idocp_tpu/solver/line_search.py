@@ -72,14 +72,27 @@ def filter_select(alphas, costs, viols, cost0, viol0, gamma=1e-5,
     return alpha, any_ok
 
 
-def filter_insert(filter_cost, filter_viol, filter_ptr, cost0, viol0):
-    """Ring-buffer insert of the (pre-step) iterate into the filter memory."""
+def filter_insert(filter_cost, filter_viol, filter_ptr, cost0, viol0,
+                  do=True):
+    """Ring-buffer insert of the (pre-step) iterate into the filter memory.
+
+    `do` (scalar bool, may be traced) gates the insert: the reference
+    augments its filter CONDITIONALLY — only for steps accepted through
+    the violation-reduction branch (or when the search rejected the whole
+    grid). Unconditional insertion lets a remembered near-feasible iterate
+    force strict cost decrease on every later trial, permanently stalling
+    tail convergence at alpha_min (ADVICE r3 low #3).
+    """
     F = filter_cost.shape[0]
     if F == 0:
         return filter_cost, filter_viol, filter_ptr
-    fc = filter_cost.at[filter_ptr].set(cost0)
-    fv = filter_viol.at[filter_ptr].set(viol0)
-    return fc, fv, (filter_ptr + 1) % F
+    do = jnp.asarray(do)
+    old_c = filter_cost[filter_ptr]
+    old_v = filter_viol[filter_ptr]
+    fc = filter_cost.at[filter_ptr].set(jnp.where(do, cost0, old_c))
+    fv = filter_viol.at[filter_ptr].set(jnp.where(do, viol0, old_v))
+    ptr = jnp.where(do, (filter_ptr + 1) % F, filter_ptr)
+    return fc, fv, ptr
 
 
 def search(evaluate_step, alpha_max, n_trials: int, cost0, viol0,
@@ -88,8 +101,19 @@ def search(evaluate_step, alpha_max, n_trials: int, cost0, viol0,
 
     evaluate_step(alpha) -> (cost_plus_barrier, violation) for a trial
     primal step of size alpha (value-only; vmapped here over the grid).
+    Returns (alpha, accepted_any, by_cost) where by_cost says the chosen
+    trial satisfies the cost-improvement branch vs the current point —
+    the signal that gates filter augmentation (see filter_insert).
     """
     alphas = trial_alphas(alpha_max, n_trials, jnp.asarray(cost0).dtype)
     costs, viols = jax.vmap(evaluate_step)(alphas)
-    return filter_select(alphas, costs, viols, cost0, viol0, gamma, margin,
-                         filter_cost, filter_viol)
+    alpha, any_ok = filter_select(alphas, costs, viols, cost0, viol0, gamma,
+                                  margin, filter_cost, filter_viol)
+    finite = jnp.isfinite(costs) & jnp.isfinite(viols)
+    ok = finite & _acceptable(costs, viols, cost0, viol0, gamma, margin)
+    if filter_cost is not None and filter_cost.shape[0]:
+        ok = ok & _acceptable(costs, viols, filter_cost, filter_viol,
+                              gamma, margin)
+    idx = jnp.argmax(ok)
+    by_cost = any_ok & (costs[idx] <= cost0 - gamma * viol0 - margin)
+    return alpha, any_ok, by_cost

@@ -10,6 +10,12 @@ import dataclasses
 @dataclasses.dataclass(frozen=True)
 class SolverOptions:
     barrier: float = 1.0e-4            # interior-point barrier parameter
+    # Optional barrier continuation for solve(): Newton stages at each
+    # listed μ (largest first, loose per-μ tolerance max(tol, 10μ)) before
+    # the final stage at `barrier`. Robustifies cold starts / the
+    # no-line-search reference-parity config (VERDICT r3 next-item #7).
+    # Each distinct μ compiles (and caches) its own update program.
+    barrier_schedule: tuple = ()
     fraction_to_boundary: float = 0.995
     min_slack: float = 1.0e-4          # slack/dual initialization floor
     max_iterations: int = 20           # solve() Newton cap

@@ -160,3 +160,25 @@ class UnconstrOCPSolver:
 
     def get_solution(self, name: str):
         return getattr(self.solution, name)
+
+    def set_solution_component(self, name: str, value):
+        """reference: OCPSolver::setSolution("q"/"v"/"a"/"u", value)."""
+        import dataclasses as _dc
+        if name not in ("q", "v", "a", "u"):
+            raise KeyError(f"unknown solution component {name!r}")
+        cur = getattr(self.solution, name)
+        value = jnp.asarray(value, self.dtype)
+        if value.ndim == cur.ndim - 1:
+            value = jnp.broadcast_to(value[None], cur.shape)
+        if value.shape != cur.shape:
+            raise ValueError(
+                f"{name}: expected shape {cur.shape}, got {value.shape}")
+        self.solution = _dc.replace(self.solution, **{name: value})
+
+    def get_lqr_policy(self, t, q, v):
+        """Per-stage LQR feedback policies da = K dx + k at the current
+        iterate (reference: feedback-policy getters; riccati/lqr_policy.hpp)."""
+        out = self._direction(self.solution, t,
+                              jnp.asarray(q, self.dtype),
+                              jnp.asarray(v, self.dtype))
+        return out[-1]

@@ -31,9 +31,22 @@ def load_solution(path: str, dtype=None) -> Solution:
     with np.load(path) as data:
         cast = (lambda x: jnp.asarray(x, dtype)) if dtype is not None \
             else jnp.asarray
-        kwargs = {name: cast(data[name]) for name in _ARRAY_FIELDS}
+        # filter-memory fields were added after the first checkpoint
+        # format: default to empty filter state for old .npz files
+        # (ADVICE r3: keep old checkpoints loadable); all other fields
+        # remain required.
+        kwargs = {}
+        for name in _ARRAY_FIELDS:
+            if name in data.files:
+                kwargs[name] = cast(data[name])
+            elif name.startswith("filter_"):
+                kwargs[name] = cast(np.zeros((0,)))
+            else:
+                raise KeyError(f"checkpoint {path} missing field {name!r}")
         # integer ring pointer: never dtype-cast
-        kwargs["filter_ptr"] = jnp.asarray(data["filter_ptr"], jnp.int32)
+        kwargs["filter_ptr"] = (
+            jnp.asarray(data["filter_ptr"], jnp.int32)
+            if "filter_ptr" in data.files else jnp.zeros((), jnp.int32))
         slack = {k[len("slack."):]: cast(data[k]) for k in data.files
                  if k.startswith("slack.")}
         dual = {k[len("dual."):]: cast(data[k]) for k in data.files

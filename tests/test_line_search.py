@@ -104,8 +104,21 @@ def test_search_vmaps_trials():
         viol = jnp.zeros_like(alpha)
         return cost, viol
 
-    alpha, ok = ls.search(evaluate, jnp.asarray(1.0), 8,
-                          cost0=jnp.asarray(1.0), viol0=jnp.asarray(0.0))
+    alpha, ok, by_cost = ls.search(evaluate, jnp.asarray(1.0), 8,
+                                   cost0=jnp.asarray(1.0),
+                                   viol0=jnp.asarray(0.0))
     # any alpha with cost < 1.0 is acceptable; the largest is 1.0
     assert bool(ok)
     assert float(alpha) == 1.0
+    # accepted through the cost branch -> no filter augmentation
+    assert bool(by_cost)
+
+
+def test_filter_insert_gated():
+    fc = jnp.full((2,), jnp.inf)
+    fv = jnp.full((2,), jnp.inf)
+    ptr = jnp.zeros((), jnp.int32)
+    fc, fv, ptr = ls.filter_insert(fc, fv, ptr, 1.0, 2.0, do=False)
+    assert int(ptr) == 0 and not np.isfinite(float(fc[0]))
+    fc, fv, ptr = ls.filter_insert(fc, fv, ptr, 1.0, 2.0, do=True)
+    assert int(ptr) == 1 and float(fc[0]) == 1.0

@@ -125,21 +125,40 @@ def main():
         term_l = jnp.zeros((B, nx), dtype)
         dx0 = jnp.zeros((B, nx), dtype)
 
-        def timeit(name, fn, *a):
-            o = fn(*a)
-            np.asarray(jax.tree_util.tree_leaves(o)[0])  # fence
+        def scalarized(fn):
+            """Wrap fn to reduce every output leaf to one scalar ON DEVICE:
+            the host fence then fetches 4 bytes instead of multi-MB arrays
+            over the TPU tunnel (the round-3 'condense=1244ms' artifact was
+            a 106 MB cs.A fetch, not compute)."""
+            def wrapped(*a):
+                o = fn(*a)
+                tot = jnp.zeros((), jnp.float32)
+                for leaf in jax.tree_util.tree_leaves(o):
+                    if hasattr(leaf, "dtype") and jnp.issubdtype(
+                            leaf.dtype, jnp.floating):
+                        tot = tot + jnp.sum(leaf).astype(jnp.float32)
+                return tot
+            return jax.jit(wrapped)
+
+        def timeit(name, fn, *a, keep=None):
+            """Time fn's scalarized twin; return keep(*a) (un-timed) when
+            downstream phases need the real output."""
+            sfn = scalarized(fn)
+            np.asarray(sfn(*a))  # compile + warm
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                o = fn(*a)
-                np.asarray(jax.tree_util.tree_leaves(o)[0])
+                o = sfn(*a)
+                np.asarray(o)
                 ts.append(time.perf_counter() - t0)
             results.setdefault(f"B{B}", {})[name] = round(min(ts) * 1e3, 2)
             print(f"B={B} {name:12s} {min(ts)*1e3:8.2f} ms", flush=True)
-            return o
+            if keep is not None:
+                return keep(*a)
 
-        lin = timeit("linearize", lin1, sol_b, 0.05, q_b, v_b, sched)
-        cs = timeit("condense", cond1, lin)
+        lin = timeit("linearize", lin1, sol_b, 0.05, q_b, v_b, sched,
+                     keep=lin1)
+        cs = timeit("condense", cond1, lin, keep=cond1)
         timeit("riccati", ric1, cs, lin.sw_mask, term_H, term_l, dx0)
         timeit("update_full", full, sol_b, 0.05, q_b, v_b, sched)
 
