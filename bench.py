@@ -24,10 +24,12 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+BATCH = int(os.environ.get("BENCH_BATCH", "512"))
 N_HORIZON = int(os.environ.get("BENCH_N", "20"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+# parallel-in-time (associative-scan + switching correction) backward pass
+PAR = os.environ.get("BENCH_PAR", "0") != "0"
 _T_START = time.time()
 
 
@@ -86,7 +88,8 @@ def main():
     # below still guards the result.
     use_ls = os.environ.get("BENCH_LS", "1") != "0"
     options = SolverOptions(barrier=1e-3, compute_kkt_error=False,
-                            line_search_alphas=4, use_line_search=use_ls)
+                            line_search_alphas=4, use_line_search=use_ls,
+                            parallel_riccati=PAR)
 
     # representative mid-trot horizon: one touchdown (impulse + switching)
     # inside the window, diagonal pair swinging before it
@@ -156,6 +159,7 @@ def main():
         "vs_baseline": round(solves_per_s / 10000.0, 3),
         "batch": BATCH,
         "iters": done,
+        "riccati": "parallel" if PAR else "serial",
         "compile_s": round(compile_s, 1),
         "total_wall_s": round(time.time() - _T_START, 1),
     }

@@ -59,8 +59,8 @@ class StageLin:
     T_x: jnp.ndarray         # elimination operators: w_e = T_x x + T_k u + t0
     T_k: jnp.ndarray
     t0: jnp.ndarray
-    fac_LM: jnp.ndarray      # contact-block Cholesky factors (dual expand)
-    fac_LS: jnp.ndarray
+    fac_LM: jnp.ndarray      # contact-block INVERSE Cholesky factors
+    fac_LS: jnp.ndarray      # (tri_inv; dual expansion reapplies them)
     fac_Jm: jnp.ndarray
     F_x: jnp.ndarray         # scaled (A-form) state-eq Jacobians
     F_w: jnp.ndarray

@@ -36,15 +36,16 @@ def contact_block_matrix(model: RobotModel, cm: ContactModel, q, active):
 
 def mass_and_contact_jacobian_fk(model: RobotModel, cm: ContactModel,
                                  fkb: "spatial.FK"):
-    """(M, LM, J) from a shared world-frame FK bundle: dense CRBA mass
-    matrix + analytic point Jacobians (robot/spatial.py) — no autodiff
-    towers (VERDICT r3 missing #2)."""
+    """(M, LMi, J) from a shared world-frame FK bundle: dense CRBA mass
+    matrix (with its inverse Cholesky factor, see tri_inv) + analytic
+    point Jacobians (robot/spatial.py) — no autodiff towers (VERDICT r3
+    missing #2)."""
     M = spatial.mass_matrix(model, fkb)
     p_f, fb = spatial.frame_points(model, fkb, cm.frame_ids)
     J = spatial.point_jacobians(model, fkb, p_f, fb).reshape(
         3 * cm.nc, model.nv)
-    LM = jnp.linalg.cholesky(M)
-    return M, LM, J
+    LMi = tri_inv(jnp.linalg.cholesky(M))
+    return M, LMi, J
 
 
 def mass_and_contact_jacobian(model: RobotModel, cm: ContactModel, q):
@@ -54,15 +55,32 @@ def mass_and_contact_jacobian(model: RobotModel, cm: ContactModel, q):
     return mass_and_contact_jacobian_fk(model, cm, spatial.fk(model, q))
 
 
-def factors_from_mj(M, LM, J, active):
+def tri_inv(L):
+    """Explicit inverse of a lower-triangular Cholesky factor.
+
+    ONE triangular solve per factorization; every subsequent cho-solve
+    application becomes two fusable (MXU) matmuls Linv.T @ (Linv @ b).
+    TPU triangular_solve kernels are serial in the RHS dimension and were
+    a measured hot spot (round-4 profile: the impulse sweep's multi-RHS
+    solves); the factored-inverse form keeps the two-triangular-factor
+    numerics (no dense M⁻¹/S⁻¹ is ever formed)."""
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+
+
+def factors_from_mj(M, LMi, J, active):
     """Schur factorization of [[M, −J̃ᵀ], [J̃, Σ]] for a given active mask,
-    reusing the shared (M, LM, J). Returns (LM, LS, Jm, mask3, M)."""
+    reusing the shared (M, LMi, J) with LMi the INVERSE lower-Cholesky
+    factor of M (mass_and_contact_jacobian). Returns
+    (LMi, LSi, Jm, mask3, M) with LSi the inverse factor of the SPD Schur
+    complement S = J̃ M⁻¹ J̃ᵀ + Σ (see tri_inv)."""
     mask3 = jnp.repeat(active.astype(J.dtype), 3)
     Jm = mask3[:, None] * J
-    MinvJt = jax.scipy.linalg.cho_solve((LM, True), Jm.T)
+    MinvJt = LMi.T @ (LMi @ Jm.T)
     S = Jm @ MinvJt + jnp.diag(1.0 - mask3)
     LS = jnp.linalg.cholesky(0.5 * (S + S.T))
-    return LM, LS, Jm, mask3, M
+    LSi = tri_inv(LS)
+    return LMi, LSi, Jm, mask3, M
 
 
 def contact_factors(model: RobotModel, cm: ContactModel, q, active):
@@ -80,21 +98,27 @@ def contact_factors(model: RobotModel, cm: ContactModel, q, active):
     return factors_from_mj(M, LM, J, active)
 
 
-def contact_solve(LM, LS, Jm, b1, b2):
+def _apply_chol_inv(Li, b):
+    """A⁻¹ b from the inverse Cholesky factor Li = L⁻¹ (A = L Lᵀ)."""
+    return Li.T @ (Li @ b)
+
+
+def contact_solve(LMi, LSi, Jm, b1, b2):
     """Solve [[M, −J̃ᵀ], [J̃, Σ]] [x; y] = [b1; b2] (multi-RHS along the
-    last axis if b1/b2 are matrices)."""
-    Minvb1 = jax.scipy.linalg.cho_solve((LM, True), b1)
-    y = jax.scipy.linalg.cho_solve((LS, True), b2 - Jm @ Minvb1)
-    x = jax.scipy.linalg.cho_solve((LM, True), b1 + Jm.T @ y)
+    last axis if b1/b2 are matrices). LMi/LSi are inverse Cholesky
+    factors (factors_from_mj) — the solves are pure matmuls."""
+    Minvb1 = _apply_chol_inv(LMi, b1)
+    y = _apply_chol_inv(LSi, b2 - Jm @ Minvb1)
+    x = _apply_chol_inv(LMi, b1 + Jm.T @ y)
     return x, y
 
 
-def contact_solve_T(LM, LS, Jm, b1, b2):
+def contact_solve_T(LMi, LSi, Jm, b1, b2):
     """Solve the transposed block [[M, J̃ᵀ], [−J̃, Σ]] [x; y] = [b1; b2]
     (same Schur factorization; used by dual expansion)."""
-    Minvb1 = jax.scipy.linalg.cho_solve((LM, True), b1)
-    y = jax.scipy.linalg.cho_solve((LS, True), b2 + Jm @ Minvb1)
-    x = jax.scipy.linalg.cho_solve((LM, True), b1 - Jm.T @ y)
+    Minvb1 = _apply_chol_inv(LMi, b1)
+    y = _apply_chol_inv(LSi, b2 + Jm @ Minvb1)
+    x = _apply_chol_inv(LMi, b1 - Jm.T @ y)
     return x, y
 
 

@@ -53,12 +53,15 @@ def _make_elements(stages: CondensedStage, reg: float):
         cost ½xᵀ(Qxx + Qxu D) x + (lx + Qxu d)ᵀ x + ½ũᵀQuu ũ + const.
     """
     def one(cs: CondensedStage):
+        from ..ocp.state_equation import tri_inv
         L = chol_rescue(0.5 * (cs.Quu + cs.Quu.T), reg)
-        D = -jax.scipy.linalg.cho_solve((L, True), cs.Qxu.T)
-        d = -jax.scipy.linalg.cho_solve((L, True), cs.lu)
+        Li = tri_inv(L)
+        sol = lambda X: Li.T @ (Li @ X)
+        D = -sol(cs.Qxu.T)
+        d = -sol(cs.lu)
         A_t = cs.A + cs.B @ D
         b_t = cs.xres + cs.B @ d
-        C = cs.B @ jax.scipy.linalg.cho_solve((L, True), cs.B.T)
+        C = cs.B @ sol(cs.B.T)
         J = cs.Qxx + cs.Qxu @ D
         J = 0.5 * (J + J.T)
         eta = -(cs.lx + cs.Qxu @ d)
@@ -213,12 +216,13 @@ def parallel_constrained(P_term, s_term, stages: CondensedStage, sw_mask,
     ds_next = jnp.concatenate([ds[1:], jnp.zeros((1, nx, nsd), dtype)])
 
     # δkff = −G⁻¹ (Cuᵀ inject + Bᵀ δs_{k+1}); G = Quu + BᵀP_{k+1}B
+    from ..ocp.state_equation import tri_inv
     BT = jnp.swapaxes(stages.B, -1, -2)
     G = stages.Quu + BT @ P[1:] @ stages.B
-    L = jax.vmap(lambda Gk: chol_rescue(0.5 * (Gk + Gk.T), reg))(G)
+    Li = jax.vmap(lambda Gk: tri_inv(chol_rescue(0.5 * (Gk + Gk.T), reg))
+                  )(G)
     dgu = Ucu + BT @ ds_next
-    dkff = -jax.vmap(lambda Lk, bk: jax.scipy.linalg.cho_solve(
-        (Lk, True), bk))(L, dgu)                           # (N, nu, nsd)
+    dkff = -jnp.swapaxes(Li, -1, -2) @ (Li @ dgu)          # (N, nu, nsd)
 
     # forward: δdx_{k+1} = M_k δdx_k + B_k δkff_k, δdx_0 = 0
     U = stages.B @ dkff

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ocp.data import CondensedStage
+from ..ocp.state_equation import tri_inv
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,10 +83,14 @@ def backward_step(P, s, cs: CondensedStage, sw_mask, reg=0.0):
     nu_, ns = G.shape[0], cs.Cx.shape[0]
     dtype = G.dtype
     L = chol_rescue(0.5 * (G + G.T), reg)
+    # one triangular inverse; every G-solve becomes two fusable matmuls
+    # (TPU triangular_solve is serial over RHS columns — round-4 profile)
+    Li = tri_inv(L)
+    Gsolve = lambda X: Li.T @ (Li @ X)
 
     if ns == 0:
-        K = -jax.scipy.linalg.cho_solve((L, True), Hxu.T)
-        kff = -jax.scipy.linalg.cho_solve((L, True), gu)
+        K = -Gsolve(Hxu.T)
+        kff = -Gsolve(gu)
         Kxi = jnp.zeros((0, F.shape[0]), dtype)
         kxi = jnp.zeros((0,), dtype)
         P_new = F + Hxu @ K
@@ -99,14 +104,13 @@ def backward_step(P, s, cs: CondensedStage, sw_mask, reg=0.0):
         Cx = mask[:, None] * cs.Cx
         h = mask * cs.h
         Sigma = jnp.diag(1.0 - mask)
-        GiCuT = jax.scipy.linalg.cho_solve((L, True), Cu.T)
+        GiCuT = Gsolve(Cu.T)
         S = Cu @ GiCuT + Sigma
-        LS = jnp.linalg.cholesky(0.5 * (S + S.T))
+        LSi = tri_inv(jnp.linalg.cholesky(0.5 * (S + S.T)))
         # b1 = -[Hxu.T | gu], b2 = -[Cx | h]; xi = S^{-1}(Cu G^{-1} b1 - b2)
-        Gib1 = jax.scipy.linalg.cho_solve(
-            (L, True), -jnp.concatenate([Hxu.T, gu[:, None]], axis=1))
+        Gib1 = Gsolve(-jnp.concatenate([Hxu.T, gu[:, None]], axis=1))
         b2 = -jnp.concatenate([Cx, h[:, None]], axis=1)
-        XI = jax.scipy.linalg.cho_solve((LS, True), Cu @ Gib1 - b2)
+        XI = LSi.T @ (LSi @ (Cu @ Gib1 - b2))
         DU = Gib1 - GiCuT @ XI
         K, kff = DU[:, :-1], DU[:, -1]
         Kxi, kxi = XI[:, :-1], XI[:, -1]

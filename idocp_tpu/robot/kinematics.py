@@ -74,24 +74,61 @@ def _axis_s6(model: RobotModel, idx):
     return jnp.stack(rows)
 
 
-def local_transforms_stacked(model: RobotModel, q):
-    """Per-body pose relative to its parent body, stacked: (nb,3,3), (nb,3).
-    X_pc = X_tree * X_joint. No tree recursion — fully parallel over bodies."""
-    nb = model.nbodies
-    dtype = q.dtype
-    Rl = jnp.zeros((nb, 3, 3), dtype)
-    pl = jnp.zeros((nb, 3), dtype)
+def _fk_meta(model: RobotModel):
+    """Static gather/permutation metadata for the scatter-free FK.
 
+    Scatters (`.at[idx].set`) break XLA fusion and cost a kernel each —
+    on the axon platform per-op overhead made FK ~45 ms/5120 instances,
+    half the whole linearize phase (round-4 profile). The scatter-free
+    formulation computes per-group/per-level blocks, CONCATENATES them in
+    traversal order, and applies ONE static-permutation gather at the
+    end."""
+    nb = model.nbodies
     one_dof = np.asarray([i for i in range(nb)
                           if model.joint_types[i] != FREE], dtype=np.int32)
     free = np.asarray([i for i in range(nb)
                        if model.joint_types[i] == FREE], dtype=np.int32)
+    grp_order = np.concatenate([free, one_dof]) if nb else free
+    # body index -> position in the [free..., one_dof...] concat
+    grp_pos = np.argsort(grp_order)
+    levels = tree_levels(model)
+    lvl_order = np.concatenate(levels) if levels else np.zeros(0, np.int32)
+    lvl_pos_of_body = np.argsort(lvl_order)  # body -> pos in level concat
+    # per-level: local-transform rows (grp positions) + parent rows in the
+    # running level concat
+    lvl_local_rows = tuple(
+        np.asarray(grp_pos[idx], np.int32) for idx in levels)
+    lvl_parent_rows = tuple(
+        np.asarray([lvl_pos_of_body[model.parent[i]] for i in idx],
+                   np.int32) for idx in levels[1:])
+    return (one_dof, free, np.asarray(grp_pos, np.int32), levels,
+            tuple(lvl_local_rows), tuple(lvl_parent_rows),
+            np.asarray(lvl_pos_of_body, np.int32))
 
+
+_FK_META_CACHE = {}
+
+
+def fk_meta(model: RobotModel):
+    key = (model.parent, model.joint_types, model.q_offset)
+    if key not in _FK_META_CACHE:
+        _FK_META_CACHE[key] = _fk_meta(model)
+    return _FK_META_CACHE[key]
+
+
+def local_transforms_stacked(model: RobotModel, q):
+    """Per-body pose relative to its parent body, stacked: (nb,3,3), (nb,3).
+    X_pc = X_tree * X_joint. Scatter-free: one concat + one static gather
+    (see _fk_meta)."""
+    dtype = q.dtype
+    one_dof, free, grp_pos, *_ = fk_meta(model)
+
+    R_parts, p_parts = [], []
     for i in free:  # at most one (the root)
         qo = model.q_offset[i]
         Rj, pj = joint_transform(FREE, model.joint_axis[i], q[qo:qo + 7])
-        Rl = Rl.at[i].set(model.jpl_rot[i] @ Rj)
-        pl = pl.at[i].set(model.jpl_pos[i] + model.jpl_rot[i] @ pj)
+        R_parts.append((model.jpl_rot[i] @ Rj)[None])
+        p_parts.append((model.jpl_pos[i] + model.jpl_rot[i] @ pj)[None])
 
     if one_dof.size:
         qo = np.asarray([model.q_offset[i] for i in one_dof])
@@ -105,26 +142,63 @@ def local_transforms_stacked(model: RobotModel, q):
         pj = jnp.where(rev[:, None], jnp.zeros_like(ax), ax * qi[:, None])
         Rt = model.jpl_rot[one_dof]
         pt = model.jpl_pos[one_dof]
-        Rl = Rl.at[one_dof].set(lie.mm3(Rt, Rj))
-        pl = pl.at[one_dof].set(pt + lie.mv3(Rt, pj))
+        R_parts.append(lie.mm3(Rt, Rj))
+        p_parts.append(pt + lie.mv3(Rt, pj))
+    Rl = jnp.concatenate(R_parts, axis=0)[grp_pos]
+    pl = jnp.concatenate(p_parts, axis=0)[grp_pos]
     return Rl, pl
 
 
+def _local_transforms_grouped(model: RobotModel, q):
+    """Local transforms in [free..., one_dof...] group order (no final
+    permutation — body_poses_stacked regathers per level anyway)."""
+    dtype = q.dtype
+    one_dof, free, *_ = fk_meta(model)
+    R_parts, p_parts = [], []
+    for i in free:
+        qo = model.q_offset[i]
+        Rj, pj = joint_transform(FREE, model.joint_axis[i], q[qo:qo + 7])
+        R_parts.append((model.jpl_rot[i] @ Rj)[None])
+        p_parts.append((model.jpl_pos[i] + model.jpl_rot[i] @ pj)[None])
+    if one_dof.size:
+        qo = np.asarray([model.q_offset[i] for i in one_dof])
+        rev = jnp.asarray([model.joint_types[i] == REVOLUTE
+                           for i in one_dof])
+        ax = model.joint_axis[one_dof]
+        qi = q[qo]
+        Rrev = lie.so3_exp(ax * qi[:, None])
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), Rrev.shape)
+        Rj = jnp.where(rev[:, None, None], Rrev, eye)
+        pj = jnp.where(rev[:, None], jnp.zeros_like(ax), ax * qi[:, None])
+        Rt = model.jpl_rot[one_dof]
+        pt = model.jpl_pos[one_dof]
+        R_parts.append(lie.mm3(Rt, Rj))
+        p_parts.append(pt + lie.mv3(Rt, pj))
+    return (jnp.concatenate(R_parts, axis=0),
+            jnp.concatenate(p_parts, axis=0))
+
+
 def body_poses_stacked(model: RobotModel, q):
-    """World pose of every body, stacked (nb,3,3), (nb,3) — level-unrolled."""
-    Rl, pl = local_transforms_stacked(model, q)
-    levels = tree_levels(model)
-    Rw = jnp.zeros_like(Rl)
-    pw = jnp.zeros_like(pl)
-    lv0 = levels[0]
-    Rw = Rw.at[lv0].set(Rl[lv0])
-    pw = pw.at[lv0].set(pl[lv0])
-    for idx in levels[1:]:
-        par = np.asarray([model.parent[i] for i in idx], dtype=np.int32)
-        Rp, pp = Rw[par], pw[par]
-        Rw = Rw.at[idx].set(lie.mm3(Rp, Rl[idx]))
-        pw = pw.at[idx].set(pp + lie.mv3(Rp, pl[idx]))
-    return Rw, pw
+    """World pose of every body, stacked (nb,3,3), (nb,3).
+
+    Scatter-free level recursion: each level's poses are computed from a
+    gather of the ALREADY-CONCATENATED earlier levels, appended, and the
+    final body-order is restored with one static-permutation gather —
+    ~2 ops per level instead of ~6 scatter kernels (see _fk_meta)."""
+    (one_dof, free, grp_pos, levels, lvl_local_rows, lvl_parent_rows,
+     lvl_pos_of_body) = fk_meta(model)
+    Rg, pg = _local_transforms_grouped(model, q)
+
+    Rw_cat = Rg[lvl_local_rows[0]]
+    pw_cat = pg[lvl_local_rows[0]]
+    for li, idx in enumerate(levels[1:]):
+        Rl_i = Rg[lvl_local_rows[li + 1]]
+        pl_i = pg[lvl_local_rows[li + 1]]
+        par = lvl_parent_rows[li]
+        Rp, pp = Rw_cat[par], pw_cat[par]
+        Rw_cat = jnp.concatenate([Rw_cat, lie.mm3(Rp, Rl_i)], axis=0)
+        pw_cat = jnp.concatenate([pw_cat, pp + lie.mv3(Rp, pl_i)], axis=0)
+    return Rw_cat[lvl_pos_of_body], pw_cat[lvl_pos_of_body]
 
 
 # --- legacy list-returning variants (test oracles: crba, cross-checks) ----

@@ -187,19 +187,42 @@ jax.tree_util.register_dataclass(
     FK, data_fields=["Rw", "pw", "S", "c_w", "Ic_w"], meta_fields=[])
 
 
+@functools.lru_cache(maxsize=32)
+def _s_perm_cached(joint_types, v_offset):
+    """Static dof permutation: [free dofs..., one_dof dofs...] -> v order."""
+    order = []
+    for i, jt in enumerate(joint_types):
+        if jt == FREE:
+            order.extend(range(v_offset[i], v_offset[i] + 6))
+    for i, jt in enumerate(joint_types):
+        if jt != FREE:
+            order.append(v_offset[i])
+    return np.argsort(np.asarray(order, np.int32)).astype(np.int32)
+
+
 def fk(model: RobotModel, q) -> FK:
     """One FK pass -> the world-frame bundle. The pose pass is the only
-    level-recursive computation left on the hot path."""
-    topo = topology(model)
+    level-recursive computation left on the hot path; the subspace
+    assembly is scatter-free (concat + one static-permutation gather —
+    scatter kernels dominated the round-4 profile, see kinematics._fk_meta).
+    """
     dtype = q.dtype
-    nv = model.nv
     Rw, pw = body_poses_stacked(model, q)
 
-    S = jnp.zeros((nv, 6), dtype)
+    S_parts = []
+    for i in range(model.nbodies):
+        if model.joint_types[i] == FREE:
+            R, p = Rw[i], pw[i]
+            # Ad_X = [[R, 0], [hat(p) R, R]] columns: world twist of the
+            # local unit twists (matches integrate's local-frame tangent)
+            hpR = lie.mm3(lie.hat(p), R)
+            top = jnp.concatenate([R, jnp.zeros((3, 3), dtype)], axis=1)
+            bot = jnp.concatenate([hpR, R], axis=1)
+            Ad = jnp.concatenate([top, bot], axis=0)      # (6, 6)
+            S_parts.append(Ad.T)                           # rows = columns
     one_dof = np.asarray([i for i in range(model.nbodies)
                           if model.joint_types[i] != FREE], np.int32)
     if one_dof.size:
-        vo = np.asarray([model.v_offset[i] for i in one_dof])
         rev = np.asarray([model.joint_types[i] == REVOLUTE
                           for i in one_dof])
         ax_w = lie.mv3(Rw[one_dof], model.joint_axis[one_dof])  # (n1, 3)
@@ -209,18 +232,9 @@ def fk(model: RobotModel, q) -> FK:
         rev_j = jnp.asarray(rev)
         ang = jnp.where(rev_j[:, None], ax_w, zero3)
         lin = jnp.where(rev_j[:, None], lin_rev, ax_w)
-        S = S.at[vo].set(jnp.concatenate([ang, lin], axis=-1))
-    for i in range(model.nbodies):
-        if model.joint_types[i] == FREE:
-            vo = model.v_offset[i]
-            R, p = Rw[i], pw[i]
-            # Ad_X = [[R, 0], [hat(p) R, R]] columns: world twist of the
-            # local unit twists (matches integrate's local-frame tangent)
-            hpR = lie.mm3(lie.hat(p), R)
-            top = jnp.concatenate([R, jnp.zeros((3, 3), dtype)], axis=1)
-            bot = jnp.concatenate([hpR, R], axis=1)
-            Ad = jnp.concatenate([top, bot], axis=0)      # (6, 6)
-            S = S.at[vo:vo + 6].set(Ad.T)                  # rows = columns
+        S_parts.append(jnp.concatenate([ang, lin], axis=-1))
+    perm = _s_perm_cached(model.joint_types, model.v_offset)
+    S = jnp.concatenate(S_parts, axis=0)[perm]
 
     c_w = pw + lie.mv3(Rw, model.com)
     Ic_w = lie.mm3(lie.mm3(Rw, model.inertia), jnp.swapaxes(Rw, -1, -2))
@@ -424,24 +438,36 @@ def rnea_derivatives(model: RobotModel, f: FK, mo: Motion, F,
     return dtau_q, dtau_v
 
 
+@functools.lru_cache(maxsize=64)
+def _scatter_matrix(fb_tuple, nb):
+    """(nb, nc) static 0-1 matrix accumulating per-contact values onto
+    bodies — a fusable contraction instead of a scatter kernel."""
+    Sc = np.zeros((nb, len(fb_tuple)))
+    for c, b in enumerate(fb_tuple):
+        Sc[b, c] = 1.0
+    return Sc
+
+
 def contact_forces_to_body(model: RobotModel, p_f, fb, f_world, nb):
     """World point forces at p_f on bodies fb -> per-body spatial forces
-    (nb, 6), torque about the world origin."""
+    (nb, 6), torque about the world origin. Scatter-free (static
+    body-accumulation matrix)."""
     g = jnp.concatenate([jnp.cross(p_f, f_world), f_world], axis=-1)
-    out = jnp.zeros((nb, 6), f_world.dtype)
-    return out.at[fb].add(g)
+    Sc = jnp.asarray(_scatter_matrix(tuple(int(b) for b in fb), nb),
+                     f_world.dtype)
+    return _contract(Sc, g)
 
 
 def contact_forces_dq(model: RobotModel, J, fb, f_world, nb):
     """q-sensitivity (nv, nb, 6) of contact_forces_to_body: only the
     torque arm p_f(q) moves; dp_f/dq_j = J columns."""
-    nv = J.shape[-1]
     # (nc, 3, nv) -> (nv, nc, 3)
     Jt = jnp.transpose(J, (2, 0, 1))
     dn = jnp.cross(Jt, f_world[None, :, :])                # (nv, nc, 3)
     dg = jnp.concatenate([dn, jnp.zeros_like(dn)], axis=-1)
-    out = jnp.zeros((nv, nb, 6), f_world.dtype)
-    return out.at[:, fb].add(dg)
+    Sc = jnp.asarray(_scatter_matrix(tuple(int(b) for b in fb), nb),
+                     f_world.dtype)
+    return _contract(Sc, dg)                               # (nv, nb, 6)
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,17 @@ if "xla_force_host_platform_device_count" not in _flags:
 def main(out_path):
     import jax
 
+    # jax may be PREIMPORTED with the axon TPU platform pinned — env vars
+    # above are then too late; force the virtual-device CPU setup via
+    # config (same pattern as __graft_entry__.dryrun_multichip).
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
+    assert len(jax.devices()) >= 8, (
+        f"need 8 virtual devices, have {jax.devices()}")
+
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/idocp_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
