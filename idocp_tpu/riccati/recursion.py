@@ -73,11 +73,15 @@ def backward_step(P, s, cs: CondensedStage, sw_mask, reg=0.0):
     """One backward Riccati step. sw_mask: (ns,) 1/0 rows of the switching
     constraint active at this stage (ns = 0 disables entirely)."""
     A, B, r = cs.A, cs.B, cs.xres
-    PA = P @ A
-    PB = P @ B
-    Pr_s = P @ r + s
-    F = cs.Qxx + A.T @ PA
-    Hxu = cs.Qxu + A.T @ PB
+    nx = A.shape[0]
+    # fused P @ [A | B | r]: one matmul instead of three (the scan step is
+    # op-count-bound at these sizes, round-4 profile)
+    PABr = P @ jnp.concatenate([A, B, r[:, None]], axis=1)
+    PA, PB = PABr[:, :nx], PABr[:, nx:-1]
+    Pr_s = PABr[:, -1] + s
+    ATP = A.T @ jnp.concatenate([PA, PB, Pr_s[:, None]], axis=1)
+    F = cs.Qxx + ATP[:, :nx]
+    Hxu = cs.Qxu + ATP[:, nx:-1]
     G = cs.Quu + B.T @ PB
     gu = cs.lu + B.T @ Pr_s
     nu_, ns = G.shape[0], cs.Cx.shape[0]
@@ -89,12 +93,12 @@ def backward_step(P, s, cs: CondensedStage, sw_mask, reg=0.0):
     Gsolve = lambda X: Li.T @ (Li @ X)
 
     if ns == 0:
-        K = -Gsolve(Hxu.T)
-        kff = -Gsolve(gu)
+        DU = -Gsolve(jnp.concatenate([Hxu.T, gu[:, None]], axis=1))
+        K, kff = DU[:, :-1], DU[:, -1]
         Kxi = jnp.zeros((0, F.shape[0]), dtype)
         kxi = jnp.zeros((0,), dtype)
         P_new = F + Hxu @ K
-        s_new = cs.lx + A.T @ Pr_s + Hxu @ kff
+        s_new = cs.lx + ATP[:, -1] + Hxu @ kff
     else:
         # masked switching rows: [[G, C̃uᵀ], [C̃u, −Σ]] with Σ = diag(1−m)
         # solved by Schur complement on the SPD S = C̃u G⁻¹ C̃uᵀ + Σ
@@ -115,7 +119,7 @@ def backward_step(P, s, cs: CondensedStage, sw_mask, reg=0.0):
         K, kff = DU[:, :-1], DU[:, -1]
         Kxi, kxi = XI[:, :-1], XI[:, -1]
         P_new = F + Hxu @ K + Cx.T @ Kxi
-        s_new = cs.lx + A.T @ Pr_s + Hxu @ kff + Cx.T @ kxi
+        s_new = cs.lx + ATP[:, -1] + Hxu @ kff + Cx.T @ kxi
 
     P_new = 0.5 * (P_new + P_new.T)
     policy = LQRPolicy(K=K, k=kff, Kxi=Kxi, kxi=kxi)

@@ -56,6 +56,23 @@ class _FakeStats:
     kkt_error = jnp.asarray([0.9, 1.1])
 
 
+def test_checkpoint_loads_pre_filter_format(tmp_path):
+    """.npz files written before the filter-memory fields existed must
+    still load (ADVICE r3: backward-compatible checkpoint format)."""
+    sol = _sol()
+    p = str(tmp_path / "old.npz")
+    save_solution(p, sol)
+    # strip the filter fields to emulate the old format
+    with np.load(p) as data:
+        payload = {k: data[k] for k in data.files
+                   if not k.startswith("filter")}
+    np.savez(p, **payload)
+    back = load_solution(p)
+    np.testing.assert_array_equal(np.asarray(back.q), np.asarray(sol.q))
+    assert back.filter_cost.shape == (0,)
+    assert int(back.filter_ptr) == 0
+
+
 def test_stats_logger_jsonl():
     buf = io.StringIO()
     with StatsLogger(buf) as log:

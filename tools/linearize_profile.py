@@ -55,18 +55,21 @@ def main():
 
     results = {}
 
-    def timeit(name, fn, *args):
+    def timeit(name, fn, *args, iters=10):
+        """Amortized over pipelined dispatches — the tunneled platform has
+        ~20-29 ms fixed per-dispatch overhead (see runtime_profile)."""
         jfn = jax.jit(lambda *aa: sum(
             jnp.sum(l).astype(jnp.float32)
             for l in jax.tree_util.tree_leaves(fn(*aa))
             if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)))
         np.asarray(jfn(*args))
         ts = []
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
-            o = jfn(*args)
-            np.asarray(o)
-            ts.append(time.perf_counter() - t0)
+            outs = [jfn(*args) for _ in range(iters)]
+            for o in outs:
+                np.asarray(o)
+            ts.append((time.perf_counter() - t0) / iters)
         results[name] = round(min(ts) * 1e3, 2)
         print(f"{name:28s} {min(ts)*1e3:8.2f} ms", flush=True)
 

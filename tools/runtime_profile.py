@@ -140,17 +140,23 @@ def main():
                 return tot
             return jax.jit(wrapped)
 
-        def timeit(name, fn, *a, keep=None):
-            """Time fn's scalarized twin; return keep(*a) (un-timed) when
-            downstream phases need the real output."""
+        def timeit(name, fn, *a, keep=None, iters=10):
+            """Time fn's scalarized twin over `iters` PIPELINED dispatches
+            fenced once: the tunneled axon platform has a ~29 ms fenced
+            round trip and ~20 ms per dispatch even pipelined, so
+            single-dispatch timings are overhead, not compute (measured
+            round 4 via a trivial jitted reduction). Return keep(*a)
+            (un-timed) when downstream phases need the real output."""
             sfn = scalarized(fn)
             np.asarray(sfn(*a))  # compile + warm
             ts = []
-            for _ in range(3):
+            for _ in range(2):
                 t0 = time.perf_counter()
-                o = sfn(*a)
-                np.asarray(o)
-                ts.append(time.perf_counter() - t0)
+                outs = [sfn(*a) for _ in range(iters)]
+                np.asarray(outs[-1])
+                for o in outs[:-1]:
+                    np.asarray(o)
+                ts.append((time.perf_counter() - t0) / iters)
             results.setdefault(f"B{B}", {})[name] = round(min(ts) * 1e3, 2)
             print(f"B={B} {name:12s} {min(ts)*1e3:8.2f} ms", flush=True)
             if keep is not None:

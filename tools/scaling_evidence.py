@@ -93,17 +93,29 @@ def main(out_path):
     bpd = int(os.environ.get("SCALING_BATCH_PER_DEVICE", "16"))
     report = dist.scaling_report(step_fn, make_batch, batch_per_device=bpd,
                                  iters=5)
+    ncores = os.cpu_count() or 1
+    n_dev = len(jax.devices())
+    core_bound = min(1.0, ncores / n_dev)
     payload = {
-        "setting": "8 virtual CPU devices (xla_force_host_platform_"
-                   "device_count; TPU pod hardware unavailable in sandbox)",
+        "setting": f"{n_dev} virtual CPU devices on a {ncores}-core host "
+                   "(TPU pod hardware unavailable in sandbox)",
         "workload": f"anymal trot batched update, N={N}, f32, "
                     f"batch/device={bpd}",
         "solves_per_s": {k: round(v, 2) for k, v in report.items()
                          if k.endswith("devices") or k == "1_device"},
         "scaling_efficiency": round(report["scaling_efficiency"], 3),
-        "note": "CPU timing is noisy; per-scenario solves are "
-                "communication-free so the dp axis has no collectives on "
-                "the hot path (see parallel/distributed.py)",
+        "efficiency_bound_from_cores": round(core_bound, 3),
+        "efficiency_vs_core_bound": round(
+            report["scaling_efficiency"] / core_bound, 3),
+        "note": "virtual devices SHARE the physical cores, so the "
+                "achievable efficiency on this host is bounded by "
+                "ncores/ndevices — the per-scenario solve path itself is "
+                "communication-free (no collectives; see "
+                "parallel/distributed.py), which is what the real-pod "
+                ">=80% target rests on; the multichip dryrun + sharding "
+                "equality tests certify the SPMD program, this artifact "
+                "records the (core-bound) wall-clock evidence available "
+                "in the sandbox",
     }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
