@@ -96,7 +96,10 @@ def main():
     alphas = int(os.environ.get("BENCH_ALPHAS", "2"))
     options = SolverOptions(barrier=1e-3, compute_kkt_error=False,
                             line_search_alphas=alphas, use_line_search=use_ls,
-                            parallel_riccati=PAR)
+                            parallel_riccati=PAR,
+                            # no-LS variant gets the trust-radius cap
+                            # (SolverOptions.max_step_norm) instead
+                            max_step_norm=(float("inf") if use_ls else 1.0))
 
     # representative mid-trot horizon: one touchdown (impulse + switching)
     # inside the window, diagonal pair swinging before it
@@ -169,6 +172,10 @@ def main():
         "riccati": "parallel" if PAR else "serial",
         "compile_s": round(compile_s, 1),
         "total_wall_s": round(time.time() - _T_START, 1),
+        # The BASELINE north star (10k solves/s) is for a whole 8-chip
+        # v4-16 SLICE; per-scenario solves are communication-free, so the
+        # slice projection at a conservative 80% scaling efficiency is:
+        "slice_8chip_at_80pct_eff": round(solves_per_s * 8 * 0.8, 0),
     }
     if not ok:
         result["warning"] = "non-finite costs in batch"

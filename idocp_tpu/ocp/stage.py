@@ -236,19 +236,48 @@ def _state_eq_blocks(model, dt, q, v_eff, a, q_next, v_next):
 
 def _state_eq_switching_blocks(model, cm, dt, q, v_eff, a, q_next, v_next,
                                sw_contact, sw_pos):
-    """State-equation AND switching-constraint blocks, one small jacfwd.
+    """State-equation AND switching-constraint blocks, fully CLOSED FORM.
 
-    The jacfwd runs over a LIE-OPS-ONLY residual (integrate/difference —
-    a few quaternion products): the forward kinematics of the predicted
-    configuration qp = q ⊕ dt (v_eff + dt a) is evaluated ONCE and its
-    switching rows use the analytic frame Jacobian at qp chained through
-    the qp-tangent map d(z) = qp(z) ⊖ qp0 (exact identity
-    pos(qp(z)) = pos(qp0 ⊕ d(z))) — the 3nv-tangent FK tower this
-    replaces was a round-3 compile+runtime sink. Switching rows
+    The row-scaled state-equation Jacobians come from
+    state_equation.transition_blocks (SE(3) adjoints + right Jacobian;
+    no autodiff, no linear solve), and the switching rows chain the
+    analytic frame Jacobian at the predicted configuration
+    qp = q ⊕ dt (v_eff + dt a) through the qp-tangent maps D1q/D1v
+    (exact identity pos(qp(z)) = pos(qp0 ⊕ d(z))). Switching rows
     (reference: ocp/switching_constraint.hpp): masked touchdown positions
     of qp must equal planned footholds; Ca = dt·Cv exactly (a enters only
     via dt²·δa alongside dt·δv). cm=None disables the switching rows.
+    The forward-mode variant `_state_eq_switching_blocks_ad` is kept as
+    the test oracle.
     """
+    from .state_equation import transition_blocks
+    nv = model.nv
+    dtype = q.dtype
+    with_sw = cm is not None
+    qp0 = model_mod.integrate(model, q, dt * (v_eff + dt * a))
+    Aq_q, Aq_v, rq_s, D1q, D1v = transition_blocks(
+        model, dt, q, v_eff, a, q_next, qp0=qp0)
+    Aq_a = dt * Aq_v
+    rv0 = v_eff + dt * a - v_next
+    if not with_sw:
+        return Aq_q, Aq_v, Aq_a, rq_s, rv0, None, None, None, None, None
+    mask3 = jnp.repeat(sw_contact.astype(dtype), 3)
+    fkp = spatial.fk(model, qp0)
+    p_f, fb = spatial.frame_points(model, fkp, cm.frame_ids)
+    Jf = spatial.point_jacobians(model, fkp, p_f, fb).reshape(
+        3 * cm.nc, nv)
+    h = mask3 * (p_f.reshape(3 * cm.nc) - sw_pos.reshape(3 * cm.nc))
+    Cq = mask3[:, None] * (Jf @ D1q)
+    Cv = mask3[:, None] * (Jf @ D1v)
+    Ca = dt * Cv
+    return Aq_q, Aq_v, Aq_a, rq_s, rv0, h, Cq, Cv, Ca, mask3
+
+
+def _state_eq_switching_blocks_ad(model, cm, dt, q, v_eff, a, q_next,
+                                  v_next, sw_contact, sw_pos):
+    """Forward-mode oracle for _state_eq_switching_blocks (one jacfwd
+    over the Lie-ops residual + an LU row scaling — the round-3..4
+    production path, retained for the two-algorithm cross-check)."""
     nv = model.nv
     dtype = q.dtype
     with_sw = cm is not None
@@ -271,7 +300,6 @@ def _state_eq_switching_blocks(model, cm, dt, q, v_eff, a, q_next, v_next,
     J = jax.jacfwd(res)(zero3)
     rq0, Jq, Jv, Jn = r0[:nv], J[:nv, :nv], J[:nv, nv:2 * nv], \
         J[:nv, 2 * nv:]
-    # scale the q-row by -Jn^{-1}: one LU solve over the stacked RHS
     rhs = jnp.concatenate([Jq, Jv, rq0[:, None]], axis=1)
     sol = -jnp.linalg.solve(Jn, rhs)
     Aq_q, Aq_v, rq_s = sol[:, :nv], sol[:, nv:2 * nv], sol[:, 2 * nv]

@@ -13,10 +13,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..robot import dynamics, spatial
+from ..robot import dynamics, lie, spatial
 from ..robot import model as model_mod
 from ..robot.contact import ContactModel
-from ..robot.model import RobotModel
+from ..robot.model import FREE, RobotModel
 
 
 def contact_block_matrix(model: RobotModel, cm: ContactModel, q, active):
@@ -129,6 +129,60 @@ def impulse_map(model: RobotModel, cm: ContactModel, q, v, active):
     dv, lam = contact_solve(LM, LS, Jm, jnp.zeros(model.nv, q.dtype),
                             -Jm @ v)
     return v + dv, lam
+
+
+def transition_blocks(model: RobotModel, dt, q, v_eff, a, q_next, qp0=None):
+    """CLOSED-FORM scaled state-equation blocks for the Lie-group Euler
+    step qp = q ⊕ w, w = dt (v_eff + dt a) (round 4; replaces a
+    54-tangent jacfwd tower + an 18x18 multi-RHS LU solve that were the
+    largest linearize sub-phase on the chip).
+
+    With D = qp ⊖ q_next, the row-scaled (−Jn⁻¹-premultiplied) blocks
+    collapse via the identities Jl(D)Jr⁻¹(D) = Ad_{Exp(D)} and
+    Jl(D) D = D to
+        Aq_q = Ad(q_next⁻¹ q),   Aq_v = dt · Ad(q_next⁻¹ qp) · Jr6(w),
+        rq_s = D,
+    and the qp-tangent maps (chaining the switching rows through the
+    analytic frame Jacobian at qp) are
+        D1q = Ad(Exp(−w)),       D1v = dt · Jr6(w).
+    1-dof joints are the abelian special case (identity / dt·identity).
+    Returns (Aq_q, Aq_v, rq_s, D1q, D1v); Aq_a = dt · Aq_v exactly
+    (a enters only through dt²·δa alongside dt·δv). Verified against the
+    autodiff tower in tests/test_oracle.py::test_transition_blocks_*.
+    """
+    nv = model.nv
+    dtype = q.dtype
+    w0 = dt * (v_eff + dt * a)
+    if qp0 is None:
+        qp0 = model_mod.integrate(model, q, w0)
+    D = model_mod.difference(model, q_next, qp0)
+
+    I_v = jnp.eye(nv, dtype=dtype)
+    Aq_q = I_v
+    Aq_v_base = I_v
+    D1q = I_v
+    D1v_base = I_v
+    for i, jt in enumerate(model.joint_types):
+        if jt != FREE:
+            continue
+        qo, vo = model.q_offset[i], model.v_offset[i]
+        pq, qq = q[qo:qo + 3], q[qo + 3:qo + 7]
+        pn, qn_ = q_next[qo:qo + 3], q_next[qo + 3:qo + 7]
+        pp, qp_ = qp0[qo:qo + 3], qp0[qo + 3:qo + 7]
+        w_f = w0[vo:vo + 6]
+        qi, pi = lie.se3_inverse(qn_, pn)
+        rel1 = lie.se3_compose(qi, pi, qq, pq)     # qn⁻¹ q
+        rel2 = lie.se3_compose(qi, pi, qp_, pp)    # qn⁻¹ qp
+        Jr = lie.se3_jr(w_f)
+        qe, pe = lie.se3_exp(-w_f)
+        blk = lambda M: M.astype(dtype)
+        Aq_q = Aq_q.at[vo:vo + 6, vo:vo + 6].set(
+            blk(lie.ad6(rel1[0], rel1[1])))
+        Aq_v_base = Aq_v_base.at[vo:vo + 6, vo:vo + 6].set(
+            blk(lie.ad6(rel2[0], rel2[1]) @ Jr))
+        D1q = D1q.at[vo:vo + 6, vo:vo + 6].set(blk(lie.ad6(qe, pe)))
+        D1v_base = D1v_base.at[vo:vo + 6, vo:vo + 6].set(blk(Jr))
+    return Aq_q, dt * Aq_v_base, D, D1q, dt * D1v_base
 
 
 def linearize_transition(model: RobotModel, dt, q, v_eff, a, q_next, v_next):

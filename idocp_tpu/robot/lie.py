@@ -309,6 +309,75 @@ def se3_inverse(q, p):
     return qi, -quat_rotate(qi, p)
 
 
+def _m4(theta2):
+    """(1 - θ²/2 - cosθ)/θ⁴ as a function of θ². Exact branch written as
+    (cosc - ½)/θ² so the f32 cancellation stays benign."""
+    small = theta2 < _EPS2
+    exact = (cosc(theta2) - 0.5) / jnp.where(small, 1.0, theta2)
+    return jnp.where(
+        small,
+        _poly(theta2, (-1.0 / 24.0, 1.0 / 720.0, -1.0 / 40320.0,
+                       1.0 / 3628800.0)),
+        exact)
+
+
+def _m5(theta2):
+    """(θ - sinθ - θ³/6)/θ⁵ as a function of θ² (= (sincc - 1/6)/θ²)."""
+    small = theta2 < _EPS2
+    exact = (sincc(theta2) - 1.0 / 6.0) / jnp.where(small, 1.0, theta2)
+    return jnp.where(
+        small,
+        _poly(theta2, (-1.0 / 120.0, 1.0 / 5040.0, -1.0 / 362880.0,
+                       1.0 / 39916800.0)),
+        exact)
+
+
+def so3_jr(w):
+    """SO(3) right Jacobian: Exp(w + d) ≈ Exp(w) Exp(Jr d)."""
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    W = hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye - cosc(theta2) * W + sincc(theta2) * mm3(W, W)
+
+
+def se3_jr(xi):
+    """SE(3) right Jacobian (angular-first twist [ω, v]):
+    Exp6(ξ + d) ≈ Exp6(ξ) Exp6(Jr6 d), with block structure
+    [[Jr3(ω), 0], [Q_r, Jr3(ω)]] and Q_r(ω, v) = Q_l(−ω, −v) (Barfoot's
+    Q matrix; signs validated against forward-mode autodiff in
+    tests/test_lie.py)."""
+    phi, rho = xi[..., :3], xi[..., 3:]
+    theta2 = jnp.sum(phi * phi, axis=-1)[..., None, None]
+    am, bm = hat(-phi), hat(-rho)
+    c1 = sincc(theta2)
+    m4 = _m4(theta2)
+    m5 = _m5(theta2)
+    ab = mm3(am, bm)
+    ba = mm3(bm, am)
+    aba = mm3(ab, am)
+    aab = mm3(am, ab)
+    baa = mm3(ba, am)
+    Q = (0.5 * bm + c1 * (ab + ba + aba)
+         - m4 * (aab + baa - 3.0 * aba)
+         - 0.5 * (m4 - 3.0 * m5) * (mm3(aba, am) + mm3(aab, am)))
+    Jr3 = so3_jr(phi)
+    Z = jnp.zeros_like(Q)
+    top = jnp.concatenate([Jr3, Z], axis=-1)
+    bot = jnp.concatenate([Q, Jr3], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def ad6(quat, p):
+    """6x6 adjoint of the pose (quat, p) on angular-first twists:
+    Ad_X = [[R, 0], [hat(p) R, R]] with R = R(quat)."""
+    R = quat_to_matrix(quat)
+    hpR = mm3(hat(p), R)
+    Z = jnp.zeros_like(R)
+    top = jnp.concatenate([R, Z], axis=-1)
+    bot = jnp.concatenate([hpR, R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def se3_integrate(q, p, xi):
     """Local integration X' = X * Exp6(xi)."""
     qe, pe = se3_exp(xi)

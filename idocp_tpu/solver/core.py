@@ -223,6 +223,15 @@ def make_update_fn(model, options, linearize_all: Callable,
         for name in g_term:
             viol0 = viol0 + jnp.sum(jnp.maximum(g_term[name], 0.0))
 
+        # optional trust-radius cap (no-line-search f32 safeguard; see
+        # SolverOptions.max_step_norm)
+        import math as _math
+        if _math.isfinite(options.max_step_norm):
+            dmax = jnp.max(jnp.abs(dx))
+            cap = options.max_step_norm / jnp.maximum(
+                dmax, options.max_step_norm)
+            alpha_p = jnp.minimum(alpha_p, cap.astype(alpha_p.dtype))
+
         ls_accepted = jnp.asarray(True)
         # filter augmentation gate: only remember the pre-step iterate when
         # the step was NOT a plain cost-decrease step (reference-style

@@ -35,6 +35,13 @@ class SolverOptions:
     # iterations (reference: line_search/line_search_filter.hpp). 0 disables
     # the memory (per-update acceptance against the current point only).
     line_search_filter_size: int = 8
+    # Trust-radius-style safeguard for runs WITHOUT the line search: cap
+    # the primal step so max|dx| <= max_step_norm (alpha shrinks
+    # accordingly). The reference's line_search=false mode relies on f64;
+    # in f32 an occasional aggressive Newton direction overshoots into
+    # NaN territory — the cap is the cheap globalization that keeps the
+    # no-line-search hot path viable. inf (default) disables it.
+    max_step_norm: float = float("inf")
     # Compute the full KKT stationarity residual inside every update
     # (needed by solve()'s convergence test). The MPC/bench hot path calls
     # update_solution once per control period and ignores it — set False

@@ -193,7 +193,8 @@ def test_trot_no_line_search_with_barrier_continuation():
     cons = [JointTorquesLowerLimit(m), JointTorquesUpperLimit(m),
             FrictionCone(m, nc=4, mu=0.7)]
     options = SolverOptions(barrier=1e-3, use_line_search=False,
-                            barrier_schedule=(1e-1, 1e-2))
+                            barrier_schedule=(1e-1, 1e-2),
+                            max_step_norm=1.0)
     solver = OCPSolver(m, cm, cost, cons, T=0.4, N=8, options=options,
                        dtype=dtype)
     gait = TrotGait(swing_time=0.15, double_support_time=0.05, t_start=0.1)

@@ -142,6 +142,60 @@ def test_point_pva_matches(robot_model):
                                rtol=1e-8, atol=1e-8)
 
 
+def test_se3_right_jacobian_matches_autodiff():
+    """Closed-form SE(3) right Jacobian (lie.se3_jr, Barfoot Q-matrix)
+    vs forward-mode autodiff, large and near-zero twists."""
+    from idocp_tpu.robot import lie
+
+    def jr_ref(xi):
+        def f(d):
+            q1, p1 = lie.se3_exp(xi + d)
+            q0, p0 = lie.se3_exp(xi)
+            return lie.se3_difference(q0, p0, q1, p1)
+        return jax.jacfwd(f)(jnp.zeros(6))
+
+    key = jax.random.PRNGKey(3)
+    for scale in (1.0, 0.3, 1e-4):
+        xi = scale * jax.random.normal(jax.random.fold_in(key, int(1e6 *
+                                                                   scale)),
+                                       (6,))
+        np.testing.assert_allclose(np.asarray(lie.se3_jr(xi)),
+                                   np.asarray(jr_ref(xi)),
+                                   rtol=1e-9, atol=1e-11)
+
+
+def test_transition_blocks_match_autodiff(robot_model):
+    """Closed-form row-scaled state-equation + switching blocks
+    (state_equation.transition_blocks / stage._state_eq_switching_blocks)
+    vs the forward-mode oracle (_state_eq_switching_blocks_ad)."""
+    from idocp_tpu.ocp import stage as stage_mod
+    from idocp_tpu.robot.contact import ContactModel
+
+    m = robot_model
+    fids = _frames(m)
+    cm = ContactModel(frame_ids=fids, kp=25.0, kd=10.0)
+    q, v, a = _rand_state(m, 11)
+    key = jax.random.PRNGKey(12)
+    q_next = model_mod.integrate(
+        m, q, 0.05 * jax.random.normal(key, (m.nv,)))
+    v_next = v + 0.1 * jax.random.normal(jax.random.fold_in(key, 1),
+                                         (m.nv,))
+    sw_contact = jnp.asarray([True] * len(fids))
+    sw_pos = 0.1 * jax.random.normal(jax.random.fold_in(key, 2),
+                                     (len(fids), 3))
+    dt = 0.025
+    out_cf = stage_mod._state_eq_switching_blocks(
+        m, cm, dt, q, v, a, q_next, v_next, sw_contact, sw_pos)
+    out_ad = stage_mod._state_eq_switching_blocks_ad(
+        m, cm, dt, q, v, a, q_next, v_next, sw_contact, sw_pos)
+    names = ("Aq_q", "Aq_v", "Aq_a", "rq_s", "rv0", "h", "Cq", "Cv",
+             "Ca", "mask3")
+    for name, cf, ad in zip(names, out_cf, out_ad):
+        np.testing.assert_allclose(
+            np.asarray(cf), np.asarray(ad), rtol=1e-8, atol=1e-9,
+            err_msg=name)
+
+
 def test_point_pva_derivatives_match_autodiff(robot_model):
     m = robot_model
     q, v, a = _rand_state(m, 8)
