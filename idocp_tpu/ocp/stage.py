@@ -109,6 +109,67 @@ def _accumulate_named(blocks_list, offs, nn, dtype):
     return val, l, H
 
 
+def _ord(name):
+    return _ORDER.index(name)
+
+
+def _accumulate_blocks(blocks_list, dtype):
+    """Sum BlockQuads in BLOCK space: (value, l dict, H dict keyed by
+    _ORDER-canonical name pairs). The dense named-space H is assembled
+    exactly ONCE at the end (_assemble_named) — the previous per-block
+    `.at[].add` pattern rematerialized the 78x78 H for every block and
+    every constraint (measured as a linearize hot spot)."""
+    val = jnp.zeros((), dtype)
+    lb, Hb = {}, {}
+    for b in blocks_list:
+        val = val + b.value
+        for name, g in b.l.items():
+            lb[name] = lb[name] + g if name in lb else g
+        for (n1, n2), Q in b.Q.items():
+            key, Qc = ((n1, n2), Q) if _ord(n1) <= _ord(n2) else \
+                ((n2, n1), Q.T)
+            Hb[key] = Hb[key] + Qc if key in Hb else Qc
+    return val, lb, Hb
+
+
+def _add_outer_blocks(Hb, Jblocks, sigma):
+    """Hb += Jᵀ diag(sigma) J restricted to the constraint's nonzero
+    named blocks (joint-limit / cone Jacobians touch 1-2 names, so this
+    avoids dense (dim, nn) matmuls)."""
+    for na, Ja in Jblocks.items():
+        for nb_, Jb in Jblocks.items():
+            if _ord(na) > _ord(nb_):
+                continue
+            contrib = Ja.T @ (sigma[:, None] * Jb)
+            key = (na, nb_)
+            Hb[key] = Hb[key] + contrib if key in Hb else contrib
+
+
+def _assemble_vec(lb, sizes, dtype):
+    """Dense named-space vector from a block dict (missing names zero)."""
+    return jnp.concatenate([
+        lb[name] if name in lb else jnp.zeros((dim,), dtype)
+        for name, dim in sizes])
+
+
+def _assemble_mat(Hb, sizes, dtype):
+    """ONE dense assembly of H from the block dict; missing blocks are
+    zeros. sizes: ordered list of (name, dim)."""
+    rows = []
+    for rname, rdim in sizes:
+        row = []
+        for cname, cdim in sizes:
+            key = (rname, cname) if _ord(rname) <= _ord(cname) else \
+                (cname, rname)
+            if key in Hb:
+                blk = Hb[key] if key[0] == rname else Hb[key].T
+            else:
+                blk = jnp.zeros((rdim, cdim), dtype)
+            row.append(blk)
+        rows.append(jnp.concatenate(row, axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
 def _impulse_quantities(model, cm, q, v, imp_mask, imp_contact, mj,
                         fkb=None):
     """v_eff, Λ and their tangent Jacobians (Gq, Gv, Lq, Lv), mask-gated.
@@ -354,13 +415,16 @@ def linearize_contact_stage(
     else:
         v_eff, lam, Gq, Gv, Lq, Lv = imp_quants
 
-    # ---- costs in named space
+    # ---- costs in named BLOCK space (one dense assembly at the end —
+    # the per-block .at[].add pattern rematerialized the 78x78 H per
+    # block/constraint, a measured linearize hot spot)
     fmask = jnp.repeat(contact_active.astype(dtype), 3)
     blocks = [c.stage(ctx, t, dt, q, v_eff, a, f, u, fmask) for c in costs]
-    val, lnamed, H = _accumulate_named(blocks, offs, nn, dtype)
-    lcond = lnamed  # cost gradient + PDIPM condensed terms (for the QP)
+    val, lb, Hb = _accumulate_blocks(blocks, dtype)
+    lcond_b = dict(lb)
 
-    # ---- PDIPM: evaluate, condense into named H/l
+    # ---- PDIPM: evaluate, condense into the named blocks (constraint
+    # Jacobians touch 1-2 named blocks, so JᵀΣJ stays block-sparse)
     g_all, Jz_all = {}, {}
     barrier = jnp.zeros((), dtype)
     for comp in constraints:
@@ -371,11 +435,19 @@ def linearize_contact_stage(
             Jn_ = Jn_.at[:, o:o + Jb.shape[1]].add(Jb)
         s_, d_ = slack[comp.name], dual[comp.name]
         sigma, rhs = pdipm.condense_terms(g, s_, d_, options.barrier)
-        H = H + Jn_.T @ (sigma[:, None] * Jn_)
-        lcond = lcond + Jn_.T @ rhs
+        _add_outer_blocks(Hb, Jblocks, sigma)
+        for name, Jb in Jblocks.items():
+            contrib = Jb.T @ rhs
+            lcond_b[name] = lcond_b[name] + contrib if name in lcond_b \
+                else contrib
         barrier = barrier + pdipm.barrier_value(s_, options.barrier)
         g_all[comp.name] = g
-        Jz_all[comp.name] = Jn_  # named for now; chained below
+        Jz_all[comp.name] = Jn_  # full row (slack/dual expansion + KKT)
+
+    sizes = [("q", nv), ("v", nv), ("a", nv), ("f", nf), ("u", nu)]
+    lnamed = _assemble_vec(lb, sizes, dtype)
+    lcond = _assemble_vec(lcond_b, sizes, dtype)
+    H = _assemble_mat(Hb, sizes, dtype)
 
     # ---- contact-block factorization (shared: E_af, elimination, duals)
     factors = contact_factors_from_mj(*mj, contact_active)
@@ -533,8 +605,8 @@ def linearize_unconstr_stage(
     fmask = jnp.zeros((0,), dtype)
 
     blocks = [c.stage(ctx, t, dt, q, v, a, f, u, fmask) for c in costs]
-    val, lnamed, H = _accumulate_named(blocks, offs, nn, dtype)
-    lcond = lnamed
+    val, lb, Hb = _accumulate_blocks(blocks, dtype)
+    lcond_b = dict(lb)
 
     g_all, Jz_all = {}, {}
     barrier = jnp.zeros((), dtype)
@@ -546,11 +618,18 @@ def linearize_unconstr_stage(
             Jn_ = Jn_.at[:, o:o + Jb.shape[1]].add(Jb)
         s_, d_ = slack[comp.name], dual[comp.name]
         sigma, rhs = pdipm.condense_terms(g, s_, d_, options.barrier)
-        H = H + Jn_.T @ (sigma[:, None] * Jn_)
-        lcond = lcond + Jn_.T @ rhs
+        _add_outer_blocks(Hb, Jblocks, sigma)
+        for name, Jb in Jblocks.items():
+            contrib = Jb.T @ rhs
+            lcond_b[name] = lcond_b[name] + contrib if name in lcond_b \
+                else contrib
         barrier = barrier + pdipm.barrier_value(s_, options.barrier)
         g_all[comp.name] = g
         Jz_all[comp.name] = Jn_
+    sizes = [("q", nv), ("v", nv), ("a", nv), ("f", 0), ("u", nu)]
+    lnamed = _assemble_vec(lb, sizes, dtype)
+    lcond = _assemble_vec(lcond_b, sizes, dtype)
+    H = _assemble_mat(Hb, sizes, dtype)
 
     # ID equality: ID(q, v, a) - u = 0; analytic RNEA derivatives + dense
     # CRBA from one world-frame FK bundle (robot/spatial.py)

@@ -138,11 +138,11 @@ def backward_recursion(P_term, s_term, stages: CondensedStage, sw_mask,
         P1, s1, pol = backward_step(P, s, cs, m, reg=reg)
         return (P1, s1), (P1, s1, pol)
 
-    # NOTE: scan unroll>1 was measured SLOWER on the v5 chip (87 -> 119 ms
-    # for the backward+forward pair at batch 256) — the per-step work is
-    # already large enough to hide loop overhead; keep the plain scan.
+    import os
+    unroll = int(os.environ.get("IDOCP_SCAN_UNROLL", "1"))
     (_, _), (Ps, ss, pols) = jax.lax.scan(
-        step, (P_term, s_term), (stages, sw_mask), reverse=True)
+        step, (P_term, s_term), (stages, sw_mask), reverse=True,
+        unroll=unroll)
     P_all = jnp.concatenate([Ps, P_term[None]], axis=0)
     s_all = jnp.concatenate([ss, s_term[None]], axis=0)
     return P_all, s_all, pols
@@ -159,6 +159,9 @@ def forward_rollout(dx0, stages: CondensedStage, pols: LQRPolicy):
         dx1 = cs.A @ dx + cs.B @ du + cs.xres
         return dx1, (dx, du, dxi)
 
-    dxN, (dxs, dus, dxis) = jax.lax.scan(step, dx0, (stages, pols))
+    import os
+    unroll = int(os.environ.get("IDOCP_SCAN_UNROLL", "1"))
+    dxN, (dxs, dus, dxis) = jax.lax.scan(step, dx0, (stages, pols),
+                                         unroll=unroll)
     dx_all = jnp.concatenate([dxs, dxN[None]], axis=0)
     return dx_all, dus, dxis

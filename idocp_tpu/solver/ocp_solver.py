@@ -371,15 +371,32 @@ class OCPSolver:
         stats, history = None, []
         mus = barrier_schedule if barrier_schedule is not None \
             else self.options.barrier_schedule
+
+        def _reset_filter():
+            """The Fletcher–Leyffer filter memory is tied to the merit
+            function; a μ switch changes the barrier term, so remembered
+            (cost, violation) pairs from the previous μ would wrongly
+            dominate trials — clear them at every stage transition."""
+            sol = self.solution
+            if sol.filter_cost.shape[-1]:
+                self.solution = _dc.replace(
+                    sol,
+                    filter_cost=jnp.full_like(sol.filter_cost, jnp.inf),
+                    filter_viol=jnp.full_like(sol.filter_viol, jnp.inf),
+                    filter_ptr=jnp.zeros_like(sol.filter_ptr))
+
         for mu in mus:
             fns = self._fns_for(_dc.replace(self.options, barrier=float(mu)))
             stage_tol = max(tol, 10.0 * float(mu))
+            _reset_filter()
             for _ in range(it_cap):
                 self.solution, stats = fns["update"](
                     self.solution, t, q, v, schedule)
                 history.append(stats)
                 if float(stats.kkt_error) < stage_tol:
                     break
+        if mus:
+            _reset_filter()
         for _ in range(it_cap):
             self.solution, stats = self._update(self.solution, t, q, v,
                                                 schedule)

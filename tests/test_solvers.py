@@ -170,6 +170,41 @@ def test_batched_solve_to_tolerance():
     assert it[0] < it[2], f"iteration counts {it}"
 
 
+def test_barrier_continuation_stages_converge(anymal):
+    """solve(barrier_schedule=...) runs warm-started μ-stages (each its
+    own cached jitted program) and ends at the final-μ solution: the
+    continuation path must reach the same KKT quality as the direct
+    solve (f64 standing problem)."""
+    m = anymal
+    dtype = jnp.float64
+    cm = ContactModel(frame_ids=(0, 1, 2, 3), kp=25.0, kd=10.0)
+    from idocp_tpu.models import anymal as anymal_mod
+    q0 = anymal_mod.standing_configuration(m)
+    feet = np.asarray(kinematics.frame_positions(m, q0, (0, 1, 2, 3)))
+    cost = [ConfigurationSpaceCost(
+        q_weight=jnp.asarray([0.0] * 3 + [10.0] * 3 + [1.0] * 12, dtype),
+        v_weight=jnp.ones(m.nv, dtype),
+        a_weight=1e-3 * jnp.ones(m.nv, dtype),
+        u_weight=1e-2 * jnp.ones(m.nu, dtype),
+        qf_weight=jnp.asarray([0.0] * 3 + [10.0] * 3 + [1.0] * 12, dtype),
+        vf_weight=jnp.ones(m.nv, dtype), q_ref=q0)]
+    cons = [JointTorquesLowerLimit(m), JointTorquesUpperLimit(m),
+            FrictionCone(m, nc=4, mu=0.7)]
+    N = 4
+    sched = static_schedule(4, N, 0.02, [True] * 4, feet)
+    solver = OCPSolver(m, cm, cost, cons, T=0.08, N=N,
+                       options=SolverOptions(barrier=1e-3))
+    solver.set_solution(q0, jnp.zeros(m.nv))
+    solver.init_constraints(sched)
+    stats, hist = solver.solve(0.0, q0, jnp.zeros(m.nv), sched,
+                               max_iterations=10, tol=1e-5,
+                               barrier_schedule=(1e-1, 1e-2))
+    assert len(solver._fn_cache) == 3  # two continuation stages cached
+    errs = [float(s.kkt_error) for s in hist]
+    assert np.all(np.isfinite(errs))
+    assert errs[-1] < 1e-4, f"KKT history: {errs}"
+
+
 def test_trot_no_line_search_with_barrier_continuation():
     """Reference-parity config (updateSolution(line_search=false),
     SURVEY.md §3.1) on the f32 trot fragment: diverged in round 3; with
