@@ -183,28 +183,3 @@ def transition_blocks(model: RobotModel, dt, q, v_eff, a, q_next, qp0=None):
         D1q = D1q.at[vo:vo + 6, vo:vo + 6].set(blk(lie.ad6(qe, pe)))
         D1v_base = D1v_base.at[vo:vo + 6, vo:vo + 6].set(blk(Jr))
     return Aq_q, dt * Aq_v_base, D, D1q, dt * D1v_base
-
-
-def linearize_transition(model: RobotModel, dt, q, v_eff, a, q_next, v_next):
-    """Linearize the Euler step q' = q ⊕ dt·v_eff, v' = v_eff + dt·a.
-
-    Returns (A_q blocks in the form x' = ... ): specifically
-      rq0: residual difference(q_next, q ⊕ dt v_eff)   [tangent at q_next]
-      Jq (nv×nv), Jv (nv×nv), Jn (nv×nv): d rq / d(δq, δv_eff, δq_next)
-    The v-row is exact/linear: rv0 = v_eff + dt a − v_next.
-    """
-    nv = model.nv
-    zero = jnp.zeros((nv,), dtype=q.dtype)
-
-    def res(eq, dv_, en):
-        qp = model_mod.integrate(model, model_mod.integrate(model, q, eq),
-                                 dt * (v_eff + dv_))
-        qn = model_mod.integrate(model, q_next, en)
-        return model_mod.difference(model, qn, qp)
-
-    rq0 = res(zero, zero, zero)
-    Jq = jax.jacfwd(lambda e: res(e, zero, zero))(zero)
-    Jv = jax.jacfwd(lambda e: res(zero, e, zero))(zero)
-    Jn = jax.jacfwd(lambda e: res(zero, zero, e))(zero)
-    rv0 = v_eff + dt * a - v_next
-    return rq0, Jq, Jv, Jn, rv0

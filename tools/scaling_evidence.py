@@ -26,13 +26,14 @@ def main(out_path):
     # jax may be PREIMPORTED with the axon TPU platform pinned — env vars
     # above are then too late; force the virtual-device CPU setup via
     # config (same pattern as __graft_entry__.dryrun_multichip).
+    n_dev = int(os.environ.get("SCALING_DEVICES", "8"))
     try:
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", 8)
+        jax.config.update("jax_num_cpu_devices", n_dev)
     except Exception:
         pass
-    assert len(jax.devices()) >= 8, (
-        f"need 8 virtual devices, have {jax.devices()}")
+    assert len(jax.devices()) >= n_dev, (
+        f"need {n_dev} virtual devices, have {jax.devices()}")
 
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/idocp_tpu_jax_cache")
