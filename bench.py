@@ -86,13 +86,14 @@ def main():
     # runs updateSolution(line_search=false) by default (SURVEY.md §3.1),
     # so that variant is the closest parity config; the finite-cost check
     # below still guards the result.
-    # Default: filter line search with a 2-trial grid. BENCH_LS=0 is the
-    # reference-parity config (updateSolution(line_search=false),
-    # SURVEY.md §3.1) and is ~25% faster, but in f32 a few scenarios per
-    # batch can go non-finite over 20 iterations — the filter search is
-    # the production default (its NaN-trial rejection also keeps the
-    # iterate alive). BENCH_ALPHAS widens the trial grid.
-    use_ls = os.environ.get("BENCH_LS", "1") != "0"
+    # Default: the reference-parity config — the reference's MPC loop runs
+    # updateSolution(line_search=false) (SURVEY.md §3.1) — guarded by the
+    # max_step_norm trust-radius cap (the f32 globalization that replaced
+    # the round-3 divergence; tested in tests/test_solvers.py). BENCH_LS=1
+    # selects the filter line search instead (production default for cold
+    # starts); BENCH_ALPHAS sizes its trial grid. The finite-cost check
+    # below guards the reported number either way.
+    use_ls = os.environ.get("BENCH_LS", "0") != "0"
     alphas = int(os.environ.get("BENCH_ALPHAS", "2"))
     options = SolverOptions(barrier=1e-3, compute_kkt_error=False,
                             line_search_alphas=alphas, use_line_search=use_ls,
