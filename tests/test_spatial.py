@@ -142,6 +142,69 @@ def test_point_pva_matches(robot_model):
                                rtol=1e-8, atol=1e-8)
 
 
+def _mixed_model():
+    """Floating base + revolute + PRISMATIC chain: exercises the
+    prismatic branches of spatial/kinematics, untested by the iiwa/anymal
+    fixtures (all-revolute)."""
+    from idocp_tpu.robot.model import (FREE, PRISMATIC, REVOLUTE,
+                                       ModelBuilder)
+    b = ModelBuilder("mixed")
+    base = b.add_body("base", -1, FREE, mass=3.0, com=(0.02, 0.0, 0.05),
+                      inertia=0.05 * np.eye(3))
+    l1 = b.add_body("l1", base, REVOLUTE, placement_pos=(0.2, 0.1, 0.0),
+                    placement_rpy=(0.2, 0.0, 0.1), axis=(0.0, 1.0, 0.0),
+                    mass=1.0, com=(0.0, 0.0, -0.1),
+                    inertia=0.01 * np.eye(3))
+    l2 = b.add_body("l2", l1, PRISMATIC, placement_pos=(0.0, 0.0, -0.25),
+                    placement_rpy=(0.0, 0.3, 0.0), axis=(0.0, 0.0, 1.0),
+                    mass=0.7, com=(0.0, 0.01, -0.05),
+                    inertia=0.005 * np.eye(3))
+    l3 = b.add_body("l3", l2, REVOLUTE, placement_pos=(0.05, 0.0, -0.2),
+                    axis=(1.0, 0.0, 0.0), mass=0.4,
+                    inertia=0.002 * np.eye(3))
+    b.add_frame("tip", l3, pos=(0.0, 0.0, -0.15))
+    return b.build()
+
+
+def test_mixed_prismatic_model_cross_checks():
+    """tau / M / J / rnea-derivative / point-pva parity on a model with a
+    prismatic joint (two-algorithm cross-check, mirroring the fixture
+    tests)."""
+    m = _mixed_model()
+    q, v, a = _rand_state(m, 21)
+    fids = (0,)
+    key = jax.random.fold_in(jax.random.PRNGKey(22), 1)
+    fw = 3.0 * jax.random.normal(key, (1, 3))
+
+    f = spatial.fk(m, q)
+    p_f, fb = spatial.frame_points(m, f, fids)
+    J = spatial.point_jacobians(m, f, p_f, fb)
+    fext = spatial.contact_forces_to_body(m, p_f, fb, fw, m.nbodies)
+    dfext_q = spatial.contact_forces_dq(m, J, fb, fw, m.nbodies)
+    mo = spatial.motion(m, f, v, a)
+    tau, _, F = spatial.rnea(m, f, mo, fext)
+    np.testing.assert_allclose(
+        np.asarray(tau), np.asarray(dynamics.rnea(m, q, v, a, fids, fw)),
+        rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(spatial.mass_matrix(m, f)),
+        np.asarray(dynamics.mass_matrix(m, q)), rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(J).reshape(3, m.nv),
+        np.asarray(dynamics.contact_velocity_jacobian(m, q, fids)),
+        rtol=1e-9, atol=1e-10)
+    dq, dv = spatial.rnea_derivatives(m, f, mo, F, dfext_q)
+    dq_ref, dv_ref, _ = dynamics.rnea_derivatives(m, q, v, a, fids, fw)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               rtol=1e-8, atol=1e-8)
+    pos, vel, acc = spatial.point_pva(f, mo, p_f, fb)
+    pr, vr, ar = kinematics.frame_pva(m, q, v, a, fids)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(ar),
+                               rtol=1e-8, atol=1e-8)
+
+
 def test_se3_right_jacobian_matches_autodiff():
     """Closed-form SE(3) right Jacobian (lie.se3_jr, Barfoot Q-matrix)
     vs forward-mode autodiff, large and near-zero twists."""
