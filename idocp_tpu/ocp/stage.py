@@ -385,7 +385,7 @@ def linearize_contact_stage(
         model: RobotModel, cm: ContactModel, costs, constraints, options,
         t, dt, q, v, a, f, u, q_next, v_next, slack, dual,
         contact_active, p_ref, imp_mask, imp_contact,
-        sw_mask_any, sw_contact, sw_pos, ctx=None,
+        sw_contact, sw_pos, ctx=None,
         impulse_cost=None, impulse_constraints=(),
         imp_quants=None) -> StageLin:
     """Linearize + condense one whole-body stage (reference:

@@ -65,7 +65,19 @@ class BatchedSolver:
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, shard), sol_batched)
 
+    def _check_extras(self, extra):
+        """Run the solver's host-side schedule guard on the batched path
+        too (ADVICE r4 low: bypassing it here let overflow schedules
+        through on exactly the path discretize_batch caches counts for)."""
+        check = getattr(self.solver, "check_schedule", None)
+        if check is None:
+            return
+        for e in extra:
+            if hasattr(e, "host_counts"):
+                check(e)
+
     def update(self, sol_batched, t, q_batch, v_batch, *extra):
+        self._check_extras(extra)
         return self._update(sol_batched, t, q_batch, v_batch, *extra)
 
     def kkt_error(self, sol_batched, t, q_batch, v_batch, *extra):
@@ -94,6 +106,7 @@ class BatchedSolver:
 
         Returns (solution, iters (B,), kkt (B,), converged (B,) bool).
         """
+        self._check_extras(extra)
         tol = tol or self.solver.options.kkt_tol
         cap = max_iterations or self.solver.options.max_iterations
         return self._solve(sol_batched, t, q_batch, v_batch,

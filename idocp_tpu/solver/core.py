@@ -12,6 +12,7 @@ evaluates its whole trial grid in one vmapped pass (line_search.py).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, Optional
 
 import jax
@@ -225,8 +226,7 @@ def make_update_fn(model, options, linearize_all: Callable,
 
         # optional trust-radius cap (no-line-search f32 safeguard; see
         # SolverOptions.max_step_norm)
-        import math as _math
-        if _math.isfinite(options.max_step_norm):
+        if math.isfinite(options.max_step_norm):
             dmax = jnp.max(jnp.abs(dx))
             cap = options.max_step_norm / jnp.maximum(
                 dmax, options.max_step_norm)
@@ -317,65 +317,64 @@ def kkt_error_from_lin(model, options, N, lin, term, sol: Solution,
     Shared by the standalone KKT function and the update step (which
     reuses its own linearization — one linearize per Newton iteration)."""
     nv = model.nv
-    if True:
-        (term_val, term_l, term_H, term_barrier, g_term, Jz_term,
-         term_lraw) = term
+    (term_val, term_l, term_H, term_barrier, g_term, Jz_term,
+     term_lraw) = term
 
-        lam = jnp.concatenate([sol.lmd, sol.gmm], axis=1)  # (N+1, 2nv)
-        numul = jnp.concatenate([sol.beta, sol.mu], axis=1) \
-            if sol.mu.shape[1] else sol.beta
+    lam = jnp.concatenate([sol.lmd, sol.gmm], axis=1)  # (N+1, 2nv)
+    numul = jnp.concatenate([sol.beta, sol.mu], axis=1) \
+        if sol.mu.shape[1] else sol.beta
 
-        def stage_stationarity(l_named, lx_extra, E_named, C_named, F_named,
-                               Tx, Tw, Jz, g, nu_eq, xi_k, lam_next, lam_k,
-                               sl, du_):
-            grad_named = l_named + E_named.T @ nu_eq
-            if C_named.shape[0]:
-                grad_named = grad_named + C_named.T @ xi_k
-            grad_named = grad_named + F_named.T @ lam_next
-            st_x = Tx.T @ grad_named + lx_extra - lam_k
-            st_w = Tw.T @ grad_named
-            # inequality-constraint gradient terms (chained Jacobians act on
-            # (x|w); translate back via the same chain matrices):
-            acc = jnp.concatenate([st_x, st_w])
-            for name in Jz:
-                nx = Tx.shape[1]
-                Jx = Jz[name][:, :nx]
-                Jw = Jz[name][:, nx:]
-                nu_in = du_[name]
-                acc = acc + jnp.concatenate([Jx.T @ nu_in, Jw.T @ nu_in])
-            return acc
+    def stage_stationarity(l_named, lx_extra, E_named, C_named, F_named,
+                           Tx, Tw, Jz, g, nu_eq, xi_k, lam_next, lam_k,
+                           sl, du_):
+        grad_named = l_named + E_named.T @ nu_eq
+        if C_named.shape[0]:
+            grad_named = grad_named + C_named.T @ xi_k
+        grad_named = grad_named + F_named.T @ lam_next
+        st_x = Tx.T @ grad_named + lx_extra - lam_k
+        st_w = Tw.T @ grad_named
+        # inequality-constraint gradient terms (chained Jacobians act on
+        # (x|w); translate back via the same chain matrices):
+        acc = jnp.concatenate([st_x, st_w])
+        for name in Jz:
+            nx = Tx.shape[1]
+            Jx = Jz[name][:, :nx]
+            Jw = Jz[name][:, nx:]
+            nu_in = du_[name]
+            acc = acc + jnp.concatenate([Jx.T @ nu_in, Jw.T @ nu_in])
+        return acc
 
-        st = jax.vmap(stage_stationarity)(
-            lin.lnamed, lin.lx_extra, lin.E_named, lin.C_named, lin.F_named,
-            lin.Tx, lin.Tw, lin.Jz, lin.g,
-            numul, sol.xi, lam[1:], lam[:N],
-            {k: sol.slack[k][:N] for k in sol.slack},
-            {k: sol.dual[k][:N] for k in sol.dual})
+    st = jax.vmap(stage_stationarity)(
+        lin.lnamed, lin.lx_extra, lin.E_named, lin.C_named, lin.F_named,
+        lin.Tx, lin.Tw, lin.Jz, lin.g,
+        numul, sol.xi, lam[1:], lam[:N],
+        {k: sol.slack[k][:N] for k in sol.slack},
+        {k: sol.dual[k][:N] for k in sol.dual})
 
-        err = jnp.sum(st * st)
-        # terminal stationarity
-        st_term = term_lraw - lam[N]
-        for name in g_term:
-            st_term = st_term + Jz_term[name].T @ sol.dual[name][N]
-        err = err + jnp.sum(st_term * st_term)
-        # primal residuals
-        dq0 = model_mod.difference(model, sol.q[0], q_meas)
-        err = err + jnp.sum(dq0 * dq0) + jnp.sum((v_meas - sol.v[0]) ** 2)
-        err = err + jnp.sum(lin.xres * lin.xres)
-        err = err + jnp.sum(lin.e * lin.e)
-        err = err + jnp.sum((lin.sw_mask * lin.h) ** 2)
-        # interior-point residuals
-        for name in lin.g:
-            r_p, r_c = pdipm.residuals(
-                lin.g[name], sol.slack[name][:N], sol.dual[name][:N],
-                options.barrier)
-            err = err + jnp.sum(r_p * r_p) + jnp.sum(r_c * r_c)
-        for name in g_term:
-            r_p, r_c = pdipm.residuals(
-                g_term[name], sol.slack[name][N], sol.dual[name][N],
-                options.barrier)
-            err = err + jnp.sum(r_p * r_p) + jnp.sum(r_c * r_c)
-        return jnp.sqrt(err)
+    err = jnp.sum(st * st)
+    # terminal stationarity
+    st_term = term_lraw - lam[N]
+    for name in g_term:
+        st_term = st_term + Jz_term[name].T @ sol.dual[name][N]
+    err = err + jnp.sum(st_term * st_term)
+    # primal residuals
+    dq0 = model_mod.difference(model, sol.q[0], q_meas)
+    err = err + jnp.sum(dq0 * dq0) + jnp.sum((v_meas - sol.v[0]) ** 2)
+    err = err + jnp.sum(lin.xres * lin.xres)
+    err = err + jnp.sum(lin.e * lin.e)
+    err = err + jnp.sum((lin.sw_mask * lin.h) ** 2)
+    # interior-point residuals
+    for name in lin.g:
+        r_p, r_c = pdipm.residuals(
+            lin.g[name], sol.slack[name][:N], sol.dual[name][:N],
+            options.barrier)
+        err = err + jnp.sum(r_p * r_p) + jnp.sum(r_c * r_c)
+    for name in g_term:
+        r_p, r_c = pdipm.residuals(
+            g_term[name], sol.slack[name][N], sol.dual[name][N],
+            options.barrier)
+        err = err + jnp.sum(r_p * r_p) + jnp.sum(r_c * r_c)
+    return jnp.sqrt(err)
 
 
 def make_kkt_error_fn(model, options, linearize_all, terminal_fn, N):

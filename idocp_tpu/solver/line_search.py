@@ -54,7 +54,10 @@ def filter_select(alphas, costs, viols, cost0, viol0, gamma=1e-5,
 
     alphas/costs/viols: (K,); cost0/viol0/gamma/margin scalars;
     filter_cost/filter_viol: optional (F,) filter memory (+inf = empty).
-    Returns (alpha, accepted_any).
+    Returns (alpha, accepted_any, idx) with idx the chosen trial's index —
+    the single source of truth for any downstream classification of the
+    accepted step (ADVICE r4 low: recomputing the mask elsewhere would
+    desynchronize on future edits to the NaN-fallback rule).
     """
     finite = jnp.isfinite(costs) & jnp.isfinite(viols)
     ok = finite & _acceptable(costs, viols, cost0, viol0, gamma, margin)
@@ -69,7 +72,7 @@ def filter_select(alphas, costs, viols, cost0, viol0, gamma=1e-5,
     # the solve alive so the next linearization can recover)
     fallback = jnp.where(finite[-1], alphas[-1], jnp.zeros_like(alphas[-1]))
     alpha = jnp.where(any_ok, alphas[idx], fallback)
-    return alpha, any_ok
+    return alpha, any_ok, idx
 
 
 def filter_insert(filter_cost, filter_viol, filter_ptr, cost0, viol0,
@@ -107,13 +110,9 @@ def search(evaluate_step, alpha_max, n_trials: int, cost0, viol0,
     """
     alphas = trial_alphas(alpha_max, n_trials, jnp.asarray(cost0).dtype)
     costs, viols = jax.vmap(evaluate_step)(alphas)
-    alpha, any_ok = filter_select(alphas, costs, viols, cost0, viol0, gamma,
-                                  margin, filter_cost, filter_viol)
-    finite = jnp.isfinite(costs) & jnp.isfinite(viols)
-    ok = finite & _acceptable(costs, viols, cost0, viol0, gamma, margin)
-    if filter_cost is not None and filter_cost.shape[0]:
-        ok = ok & _acceptable(costs, viols, filter_cost, filter_viol,
-                              gamma, margin)
-    idx = jnp.argmax(ok)
+    alpha, any_ok, idx = filter_select(alphas, costs, viols, cost0, viol0,
+                                       gamma, margin, filter_cost,
+                                       filter_viol)
+    # classify the CHOSEN trial via the index filter_select selected
     by_cost = any_ok & (costs[idx] <= cost0 - gamma * viol0 - margin)
     return alpha, any_ok, by_cost

@@ -21,10 +21,15 @@ class SolverOptions:
     max_iterations: int = 20           # solve() Newton cap
     kkt_tol: float = 1.0e-7            # solve() convergence threshold
     riccati_regularization: float = 0.0
-    # O(log N)-depth associative-scan Riccati (riccati/parallel.py) instead
-    # of the serial lax.scan. Exact, but ignores switching-constraint rows —
-    # only enable on horizons without touchdown events (unconstr fast path,
-    # fixed-stance contact OCPs).
+    # O(log N)-depth associative-scan Riccati (riccati/parallel.py,
+    # Särkkä–García-Fernández temporal parallelization) instead of the
+    # serial lax.scan. EXACT for the full problem class: switching
+    # (touchdown) constraint rows are carried by the dual low-rank
+    # correction `parallel_constrained` (equality to the serial
+    # constrained recursion proven in tests/test_parnmpc.py, incl. hybrid
+    # horizons with impulses). Wins at long horizons / small batches where
+    # the serial scan's N sequential steps dominate; at large batch x
+    # short horizon the serial scan is faster (round-4 profile).
     parallel_riccati: bool = False
     # Filter line search ON by default: the f32 whole-body solve has no
     # globalization safety net without it (VERDICT r1 missing-item #1).

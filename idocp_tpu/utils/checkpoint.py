@@ -25,22 +25,30 @@ def save_solution(path: str, sol: Solution) -> None:
     np.savez(path, **payload)
 
 
-def load_solution(path: str, dtype=None) -> Solution:
-    """Load a Solution saved by save_solution."""
+def load_solution(path: str, dtype=None, filter_size: int = 0) -> Solution:
+    """Load a Solution saved by save_solution.
+
+    filter_size: line-search filter memory length to BACKFILL when the
+    checkpoint predates the filter fields (pass the target solver's
+    options.line_search_filter_size). Backfilled entries are +inf (empty
+    filter slots), so the restored solution is shape-compatible with a
+    filter-enabled solver instead of silently disabling its line-search
+    memory (ADVICE r4 low). Ignored when the checkpoint carries filter
+    state of its own.
+    """
     import jax.numpy as jnp
     with np.load(path) as data:
         cast = (lambda x: jnp.asarray(x, dtype)) if dtype is not None \
             else jnp.asarray
         # filter-memory fields were added after the first checkpoint
-        # format: default to empty filter state for old .npz files
-        # (ADVICE r3: keep old checkpoints loadable); all other fields
-        # remain required.
+        # format: backfill for old .npz files (ADVICE r3: keep old
+        # checkpoints loadable); all other fields remain required.
         kwargs = {}
         for name in _ARRAY_FIELDS:
             if name in data.files:
                 kwargs[name] = cast(data[name])
             elif name.startswith("filter_"):
-                kwargs[name] = cast(np.zeros((0,)))
+                kwargs[name] = cast(np.full((filter_size,), np.inf))
             else:
                 raise KeyError(f"checkpoint {path} missing field {name!r}")
         # integer ring pointer: never dtype-cast

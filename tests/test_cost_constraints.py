@@ -195,17 +195,20 @@ def test_pdipm_condense_expand_consistency():
                                rtol=1e-12)
 
 
-def test_pdipm_fraction_to_boundary():
+def test_fraction_to_boundary():
+    """The fraction-to-boundary rule used by the update step
+    (solver/core._ftb; reference: pdipm::FractionToBoundaryRule)."""
+    from idocp_tpu.solver.core import _ftb
     x = jnp.asarray([1.0, 2.0, 3.0])
     dx = jnp.asarray([-2.0, 1.0, -0.1])
     tau = 0.995
-    alpha = float(pdipm.fraction_to_boundary(x, dx, tau))
+    alpha = float(_ftb(x, dx, tau))
     # binding row is 0: alpha = tau * 1.0 / 2.0
     assert abs(alpha - tau / 2.0) < 1e-12
     xa = x + alpha * dx
     assert (np.asarray(xa) >= (1 - tau) * np.asarray(x) - 1e-12).all()
     # all-positive directions: full step
-    assert float(pdipm.fraction_to_boundary(x, jnp.abs(dx), tau)) == 1.0
+    assert float(_ftb(x, jnp.abs(dx), tau)) == 1.0
 
 
 def test_pdipm_barrier_value_masked():

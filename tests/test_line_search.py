@@ -18,7 +18,7 @@ def test_filter_select_picks_largest_improving():
     # alpha=1.0 worsens both; alpha=0.5 improves cost -> picked
     costs = jnp.asarray([10.0, 0.5, 0.4, 0.9])
     viols = jnp.asarray([5.0, 2.0, 1.5, 1.9])
-    alpha, ok = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0)
+    alpha, ok, _ = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0)
     assert bool(ok)
     assert float(alpha) == 0.5
 
@@ -27,7 +27,7 @@ def test_filter_select_accepts_violation_reduction():
     alphas = jnp.asarray([1.0, 0.5])
     costs = jnp.asarray([5.0, 6.0])     # both worse in cost
     viols = jnp.asarray([0.5, 0.1])     # but alpha=1 reduces violation
-    alpha, ok = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0)
+    alpha, ok, _ = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0)
     assert bool(ok)
     assert float(alpha) == 1.0
 
@@ -36,7 +36,7 @@ def test_filter_select_rejects_nan_trials():
     alphas = jnp.asarray([1.0, 0.5, 0.25])
     costs = jnp.asarray([jnp.nan, jnp.nan, 0.2])
     viols = jnp.asarray([jnp.nan, jnp.nan, 0.5])
-    alpha, ok = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0)
+    alpha, ok, _ = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0)
     assert bool(ok)
     assert float(alpha) == 0.25
 
@@ -45,7 +45,7 @@ def test_filter_select_fallback_smallest():
     alphas = jnp.asarray([1.0, 0.5, 0.25])
     costs = jnp.asarray([9.0, 9.0, 9.0])
     viols = jnp.asarray([9.0, 9.0, 9.0])
-    alpha, ok = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0)
+    alpha, ok, _ = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0)
     assert not bool(ok)
     assert float(alpha) == 0.25
 
@@ -61,13 +61,13 @@ def test_filter_memory_blocks_revisited_region():
     # (cost 0.5 > 0.4, viol 1.9 > 1.0) is dominated -> rejected
     fc = jnp.asarray([0.4, jnp.inf])
     fv = jnp.asarray([1.0, jnp.inf])
-    alpha, ok = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0,
+    alpha, ok, _ = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0,
                                  filter_cost=fc, filter_viol=fv)
     assert bool(ok)
     assert float(alpha) == 0.5
 
     # without the memory the same grid would accept alpha=1
-    alpha2, ok2 = ls.filter_select(alphas, costs, viols, cost0=1.0,
+    alpha2, ok2, _ = ls.filter_select(alphas, costs, viols, cost0=1.0,
                                    viol0=2.0)
     assert bool(ok2) and float(alpha2) == 1.0
 
@@ -78,7 +78,7 @@ def test_filter_memory_empty_slots_accept_everything():
     viols = jnp.asarray([1.0])
     fc = jnp.full((4,), jnp.inf)
     fv = jnp.full((4,), jnp.inf)
-    alpha, ok = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0,
+    alpha, ok, _ = ls.filter_select(alphas, costs, viols, cost0=1.0, viol0=2.0,
                                  filter_cost=fc, filter_viol=fv)
     assert bool(ok) and float(alpha) == 1.0
 

@@ -193,6 +193,46 @@ def test_impulse_slot_overflow_guard(anymal):
         solver.init_constraints(sched)
 
 
+def test_switching_row_overflow_guard(anymal):
+    """sw_contact can be set independently of imp_mask (hand-built
+    schedules via dataclasses.replace); the parallel Riccati keeps only
+    max_impulse_stages switching-row stages, so an uncounted overflow
+    would silently drop constraint rows — check_schedule must raise on
+    the switching-row count too (ADVICE r4 medium)."""
+    solver, q0 = _make_solver(anymal, N=12, T=0.6)  # max_impulse_stages=4
+    feet = np.asarray(kinematics.frame_positions(anymal, q0, (0, 1, 2, 3)))
+    gait = TrotGait(swing_time=0.15, double_support_time=0.05, t_start=0.1)
+    sched = MPC(solver, gait, feet).schedule_at(0.05)
+    n_imp, _ = sched.host_counts()
+    assert n_imp <= solver.max_impulse_stages
+    # switching rows on MORE stages than the slot budget, no new impulses
+    sw = np.zeros_like(np.asarray(sched.sw_contact))
+    sw[: solver.max_impulse_stages + 2, 0] = True
+    bad = dataclasses.replace(sched, sw_contact=jnp.asarray(sw))
+    solver.set_solution(q0, jnp.zeros(anymal.nv), schedule=sched)
+    with pytest.raises(ValueError, match="switching-row"):
+        solver.update_solution(0.0, q0, jnp.zeros(anymal.nv), bad)
+
+
+def test_batched_solver_schedule_guard(anymal):
+    """BatchedSolver.update must run the same host-side schedule guard as
+    the single-scenario path (ADVICE r4 low: it used to bypass
+    check_schedule entirely on exactly the batched MPC/bench path)."""
+    from idocp_tpu.parallel.batch import BatchedSolver
+    solver, q0 = _make_solver(anymal, N=12, T=1.2)  # max_impulse_stages=4
+    feet = np.asarray(kinematics.frame_positions(anymal, q0, (0, 1, 2, 3)))
+    gait = TrotGait(swing_time=0.08, double_support_time=0.02, t_start=0.05)
+    sched = MPC(solver, gait, feet).schedule_at(0.0)
+    assert sched.host_counts()[0] > solver.max_impulse_stages
+    solver.set_solution(q0, jnp.zeros(anymal.nv), schedule=sched)
+    bs = BatchedSolver(solver, extra_axes=(None,))
+    sol_b = batch_solution(solver.solution, 2)
+    q_b = jnp.tile(q0[None], (2, 1))
+    v_b = jnp.zeros((2, anymal.nv))
+    with pytest.raises(ValueError, match="impulse stages"):
+        bs.update(sol_b, 0.0, q_b, v_b, sched)
+
+
 def test_schedule_host_counts_cached(anymal):
     """Builders attach host-side counts (no device fetch on the hot path);
     tree-mapped schedules fall back to one fetch with the same answer."""

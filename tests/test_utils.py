@@ -71,6 +71,13 @@ def test_checkpoint_loads_pre_filter_format(tmp_path):
     np.testing.assert_array_equal(np.asarray(back.q), np.asarray(sol.q))
     assert back.filter_cost.shape == (0,)
     assert int(back.filter_ptr) == 0
+    # explicit filter_size: backfill with +inf EMPTY slots so the restored
+    # solution is shape-compatible with a filter-enabled solver instead of
+    # silently disabling its line-search memory (ADVICE r4 low)
+    back_f = load_solution(p, filter_size=8)
+    assert back_f.filter_cost.shape == (8,)
+    assert np.isinf(np.asarray(back_f.filter_cost)).all()
+    assert np.isinf(np.asarray(back_f.filter_viol)).all()
 
 
 def test_stats_logger_jsonl():

@@ -95,7 +95,7 @@ def main():
         return stage_mod.linearize_contact_stage(
             m, cm, solver.cost, solver.constraints, options,
             0.0, 0.025, q, v, a, f, u, qn, vn, sl, dl,
-            ones4, feet_j, jnp.zeros((), dtype), zeros4, None, zeros4,
+            ones4, feet_j, jnp.zeros((), dtype), zeros4, zeros4,
             feet_j, solver._ctx, impulse_cost=None)
 
     if "stage" in want:

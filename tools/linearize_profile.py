@@ -146,7 +146,7 @@ def main():
                    icc, swc, swp):
         return stage_mod.linearize_contact_stage(
             m, cm, cost, cons, options, 0.0, 0.025, qq, vv, aa, ff, uu,
-            qnn, vnn, sl, dl, cca, cp, imm, icc, None, swc, swp, ctx)
+            qnn, vnn, sl, dl, cca, cp, imm, icc, swc, swp, ctx)
     timeit("linearize_stage_full", jax.vmap(full_stage), q, v, a, f, u,
            qn, vn, slack, dual, ca, p_ref, im, ic, sw_c, sw_pos)
 
