@@ -33,12 +33,11 @@ PAR = os.environ.get("BENCH_PAR", "0") != "0"
 _T_START = time.time()
 
 
-def main():
+def configure_cache():
+    """Persistent compile cache: the jitted whole-horizon update is a
+    large XLA program; cold compiles on the experimental axon platform
+    took ~15 min in round 2. Shared with tests/conftest.py."""
     import jax
-
-    # Persistent compile cache: the jitted whole-horizon update is a large
-    # XLA program; cold compiles on the experimental axon platform took
-    # ~15 min in round 2. Shared with tests/conftest.py.
     jax.config.update("jax_compilation_cache_dir", "/tmp/idocp_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -47,6 +46,13 @@ def main():
     except Exception:
         pass
 
+
+def build(batch=BATCH, n_horizon=N_HORIZON, use_ls=None, alphas=None,
+          parallel=PAR):
+    """Build the bench workload: returns (bs, sol_b, q_b, v_b, sched,
+    model). Shared by bench.py, tools/mfu_report.py and the profiling
+    tools so every measurement runs THE shipping configuration."""
+    import jax
     import jax.numpy as jnp
 
     from idocp_tpu.constraints.components import (
@@ -55,6 +61,7 @@ def main():
     from idocp_tpu.models import anymal
     from idocp_tpu.parallel.batch import BatchedSolver, batch_solution
     from idocp_tpu.robot import kinematics
+    from idocp_tpu.robot import model as model_mod
     from idocp_tpu.robot.contact import ContactModel
     from idocp_tpu.solver.mpc import MPC, TrotGait
     from idocp_tpu.solver.ocp_solver import OCPSolver
@@ -80,33 +87,31 @@ def main():
         q_ref=q0)]
     cons = [JointTorquesLowerLimit(m), JointTorquesUpperLimit(m),
             FrictionCone(m, nc=4, mu=0.7)]
-    # MPC hot-path options: no full KKT-residual assembly per update (the
-    # control loop ignores it), 4-point line-search grid. BENCH_LS=0
-    # additionally disables the line search — the reference's MPC loop
-    # runs updateSolution(line_search=false) by default (SURVEY.md §3.1),
-    # so that variant is the closest parity config; the finite-cost check
-    # below still guards the result.
     # Default: the reference-parity config — the reference's MPC loop runs
     # updateSolution(line_search=false) (SURVEY.md §3.1) — guarded by the
     # max_step_norm trust-radius cap (the f32 globalization that replaced
     # the round-3 divergence; tested in tests/test_solvers.py). BENCH_LS=1
     # selects the filter line search instead (production default for cold
     # starts); BENCH_ALPHAS sizes its trial grid. The finite-cost check
-    # below guards the reported number either way.
-    use_ls = os.environ.get("BENCH_LS", "0") != "0"
-    alphas = int(os.environ.get("BENCH_ALPHAS", "2"))
+    # in main() guards the reported number either way.
+    if use_ls is None:
+        use_ls = os.environ.get("BENCH_LS", "0") != "0"
+    if alphas is None:
+        alphas = int(os.environ.get("BENCH_ALPHAS", "2"))
     options = SolverOptions(barrier=1e-3, compute_kkt_error=False,
                             line_search_alphas=alphas, use_line_search=use_ls,
-                            parallel_riccati=PAR,
+                            parallel_riccati=parallel,
                             # no-LS variant gets the trust-radius cap
                             # (SolverOptions.max_step_norm) instead
                             max_step_norm=(float("inf") if use_ls else 1.0))
 
     # representative mid-trot horizon: one touchdown (impulse + switching)
-    # inside the window, diagonal pair swinging before it
+    # inside the window, diagonal pair swinging before it. Longer horizons
+    # (BENCH_N for the horizon-scaling study) stretch T so the per-stage
+    # dt (and the gait content) stays comparable.
     gait = TrotGait(t_start=0.1)
-    T = 0.5
-    solver = OCPSolver(m, cm, cost, cons, T=T, N=N_HORIZON,
+    T = 0.5 * (n_horizon / 20.0)
+    solver = OCPSolver(m, cm, cost, cons, T=T, N=n_horizon,
                        options=options, dtype=dtype)
     mpc = MPC(solver, gait, feet)
     sched = mpc.schedule_at(0.05)  # mid-gait window with events in horizon
@@ -115,22 +120,28 @@ def main():
     solver.init_constraints(sched)
 
     key = jax.random.PRNGKey(0)
-    sol_b = batch_solution(solver.solution, BATCH)
-    q_b = jnp.tile(q0[None], (BATCH, 1))
-    dq = 0.02 * jax.random.normal(key, (BATCH, m.nv), dtype)
-    from idocp_tpu.robot import model as model_mod
+    sol_b = batch_solution(solver.solution, batch)
+    q_b = jnp.tile(q0[None], (batch, 1))
+    dq = 0.02 * jax.random.normal(key, (batch, m.nv), dtype)
     q_b = jax.vmap(lambda qq, d: model_mod.integrate(m, qq, d))(q_b, dq)
     v_b = 0.05 * jax.random.normal(jax.random.fold_in(key, 1),
-                                   (BATCH, m.nv), dtype)
+                                   (batch, m.nv), dtype)
 
     bs = BatchedSolver(solver, extra_axes=(None,))
+    return bs, sol_b, q_b, v_b, sched, m
 
-    def fence(x):
-        """Synchronize on the experimental axon platform, where
-        jax.block_until_ready returns WITHOUT waiting for remote execution
-        (measured: it made a 20-iteration run 'finish' in 4 ms). A
-        device-to-host value fetch is the only reliable fence."""
-        return np.asarray(x)
+
+def fence(x):
+    """Synchronize on the experimental axon platform, where
+    jax.block_until_ready returns WITHOUT waiting for remote execution
+    (measured: it made a 20-iteration run 'finish' in 4 ms). A
+    device-to-host value fetch is the only reliable fence."""
+    return np.asarray(x)
+
+
+def main():
+    configure_cache()
+    bs, sol_b, q_b, v_b, sched, _ = build()
 
     # warm-up / compile
     t_c0 = time.time()

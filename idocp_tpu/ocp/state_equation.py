@@ -13,6 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops import smallchol
 from ..robot import dynamics, lie, spatial
 from ..robot import model as model_mod
 from ..robot.contact import ContactModel
@@ -44,7 +45,7 @@ def mass_and_contact_jacobian_fk(model: RobotModel, cm: ContactModel,
     p_f, fb = spatial.frame_points(model, fkb, cm.frame_ids)
     J = spatial.point_jacobians(model, fkb, p_f, fb).reshape(
         3 * cm.nc, model.nv)
-    LMi = tri_inv(jnp.linalg.cholesky(M))
+    LMi = smallchol.chol_tri_inv(M)
     return M, LMi, J
 
 
@@ -58,14 +59,14 @@ def mass_and_contact_jacobian(model: RobotModel, cm: ContactModel, q):
 def tri_inv(L):
     """Explicit inverse of a lower-triangular Cholesky factor.
 
-    ONE triangular solve per factorization; every subsequent cho-solve
-    application becomes two fusable (MXU) matmuls Linv.T @ (Linv @ b).
-    TPU triangular_solve kernels are serial in the RHS dimension and were
-    a measured hot spot (round-4 profile: the impulse sweep's multi-RHS
-    solves); the factored-inverse form keeps the two-triangular-factor
-    numerics (no dense M⁻¹/S⁻¹ is ever formed)."""
-    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
-    return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    Every subsequent cho-solve application becomes two fusable (MXU)
+    matmuls Linv.T @ (Linv @ b); the factored-inverse form keeps the
+    two-triangular-factor numerics (no dense M⁻¹/S⁻¹ is ever formed).
+    Round 5: the substitution itself is the UNROLLED elementwise pass of
+    ops/smallchol (the XLA triangular_solve custom call was a measured
+    hot spot — 13.7-20.9 ms per 10240-instance chol+inv chain on-chip vs
+    0.6-1.7 ms unrolled; PROFILE_r05)."""
+    return smallchol.tri_inv(L)
 
 
 def factors_from_mj(M, LMi, J, active):
@@ -78,8 +79,7 @@ def factors_from_mj(M, LMi, J, active):
     Jm = mask3[:, None] * J
     MinvJt = LMi.T @ (LMi @ Jm.T)
     S = Jm @ MinvJt + jnp.diag(1.0 - mask3)
-    LS = jnp.linalg.cholesky(0.5 * (S + S.T))
-    LSi = tri_inv(LS)
+    LSi = smallchol.chol_tri_inv(0.5 * (S + S.T))
     return LMi, LSi, Jm, mask3, M
 
 

@@ -1,23 +1,28 @@
-"""Pallas TPU kernels (SURVEY.md §7 P6).
+"""Batched small-matrix factorization ops (SURVEY.md §7 P6).
 
-The profile-driven round-4 finding (PROFILE_r04.json) is that the solver
-is dispatch/fusion-bound small dense algebra; the biggest kernel-shaped
-residual is the batched small-matrix Cholesky + triangular-inverse chain
-(~7-8 ms per 10k instances through XLA's cholesky + triangular_solve).
-`ops.chol` implements it as a single batch-on-lanes Pallas kernel.
+The profile-driven finding (PROFILE_r04/r05) is that the solver is
+dispatch/fusion-bound small dense algebra, and the single biggest
+kernel-shaped cost was the batched small-matrix Cholesky +
+triangular-inverse chain through XLA's `cholesky` + `triangular_solve`
+custom calls: 13.7 ms (n=12) / 20.9 ms (n=18) per 10240-instance batch
+of chained factorizations on-chip.
 
-Measured on the chip (tools/chol_kernel_bench.py, B=10240, amortized
-timings include a ~20 ms dispatch floor — subtract it for true compute):
+Two replacements, both measured (tools/chol_kernel_bench.py):
 
-    n=12: xla 30.1 ms  pallas 27.0 ms   (true ~10 -> ~7)
-    n=18: xla 28.3 ms  pallas 26.2 ms   (true ~8.3 -> ~6.2)
-    n=30: xla 37.7 ms  pallas 26.7 ms   (true ~17.7 -> ~6.7, 2.6x)
-
-Integration note: the solver batches scenarios by OUTER vmap over
-unbatched per-stage functions, which composes poorly with a kernel that
-wants the batch axis laid out on lanes — production wiring needs
-explicit-batch entry points (future work); the kernel, its correctness
-test (tests/test_ops.py, interpreter mode), and the TPU micro-benchmark
-are the measured groundwork.
+  - `ops.smallchol` (PRODUCTION, round 5): fully unrolled
+    Cholesky–Banachiewicz + forward substitution in pure JAX scalars.
+    Under the solver's nested vmap every scalar becomes a batched
+    elementwise op and the whole factorization fuses into a few VPU
+    kernels: 0.56 ms (n=12) / 1.69 ms (n=18) per 10240 — 12-24x over
+    the XLA chain — and it composes with vmap at any nesting depth.
+    Wired into ocp/state_equation + riccati/recursion (env `IDOCP_CHOL`
+    selects backends for A/B runs).
+  - `ops.chol` (alternative): one batch-on-lanes Pallas kernel. Fastest
+    at explicit (B, n, n) batches of n=18 (0.62 ms/10240) but its vmap
+    batching rule turns outer batch axes into grid steps, so inside the
+    solver's vmap structure it loses to the unrolled path (1.29 vs
+    1.12 ms at n=18, B=512 x N=20). Selectable via IDOCP_CHOL=pallas.
 """
 from .chol import chol_tri_inv  # noqa: F401
+from .smallchol import chol, chol_tri_inv as chol_tri_inv_unrolled  # noqa: F401
+from .smallchol import tri_inv  # noqa: F401

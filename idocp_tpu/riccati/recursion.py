@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..ocp.data import CondensedStage
 from ..ocp.state_equation import tri_inv
+from ..ops import smallchol
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,12 +61,12 @@ def chol_rescue(G, reg=0.0):
     scale = jnp.trace(G) / n + 1.0
     G0 = G + reg * I
 
-    L0 = jnp.linalg.cholesky(G0)
+    L0 = smallchol.chol(G0)
     ok0 = jnp.all(jnp.isfinite(L0))
-    L1 = jnp.linalg.cholesky(G0 + (1e-4 * scale) * I)
+    L1 = smallchol.chol(G0 + (1e-4 * scale) * I)
     ok1 = jnp.all(jnp.isfinite(L1))
     # final fallback: heavy boost guarantees positive definiteness
-    L2 = jnp.linalg.cholesky(G0 + scale * I)
+    L2 = smallchol.chol(G0 + scale * I)
     return jnp.where(ok0, L0, jnp.where(ok1, L1, L2))
 
 
@@ -110,7 +111,7 @@ def backward_step(P, s, cs: CondensedStage, sw_mask, reg=0.0):
         Sigma = jnp.diag(1.0 - mask)
         GiCuT = Gsolve(Cu.T)
         S = Cu @ GiCuT + Sigma
-        LSi = tri_inv(jnp.linalg.cholesky(0.5 * (S + S.T)))
+        LSi = smallchol.chol_tri_inv(0.5 * (S + S.T))
         # b1 = -[Hxu.T | gu], b2 = -[Cx | h]; xi = S^{-1}(Cu G^{-1} b1 - b2)
         Gib1 = Gsolve(-jnp.concatenate([Hxu.T, gu[:, None]], axis=1))
         b2 = -jnp.concatenate([Cx, h[:, None]], axis=1)

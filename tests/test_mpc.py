@@ -233,6 +233,56 @@ def test_batched_solver_schedule_guard(anymal):
         bs.update(sol_b, 0.0, q_b, v_b, sched)
 
 
+def test_lqr_policy_interpolation_improves_tracking(anymal):
+    """Applying the stage-0 Riccati feedback gains at sim rate between
+    MPC updates (MPC.step_with_policy; reference: the feedback-policy
+    getters of riccati/lqr_policy.hpp) must track the plan better than
+    zero-order-hold torques (VERDICT r4 next-item #8). Standing
+    stabilization from a perturbed state, 4x sim substeps per control
+    period."""
+    from idocp_tpu.robot import model as model_mod
+    from idocp_tpu.utils.simulation import pinned_contact_step
+
+    m = anymal
+    solver_cfg = lambda: _make_solver(m, N=8, T=0.4)
+    feet0 = None
+    dt_mpc, substeps, n_steps = 0.05, 4, 5
+    results = {}
+    for law in ("zoh", "lqr"):
+        solver, q0 = solver_cfg()
+        feet = np.asarray(kinematics.frame_positions(m, q0, (0, 1, 2, 3)))
+        # stand-only gait: no events, pure stabilization
+        gait = TrotGait(t_start=1e6)
+        mpc = MPC(solver, gait, feet)
+        sched = mpc.schedule_at(0.0)
+        # perturbed start: the MPC has to pull the base back
+        dq = jnp.zeros(m.nv).at[2].set(0.03).at[4].set(0.05)
+        q = model_mod.integrate(m, q0, dq)
+        v = jnp.zeros(m.nv).at[0].set(0.1)
+        solver.set_solution(q0, jnp.zeros(m.nv), schedule=sched)
+        solver.init_constraints(sched)
+        err, t = 0.0, 0.0
+        for _ in range(n_steps):
+            if law == "lqr":
+                u0, policy, _ = mpc.step_with_policy(t, q, v)
+            else:
+                u0, _ = mpc.step(t, q, v)
+                policy = None
+            for _ in range(substeps):
+                u = policy(q, v) if policy is not None else u0
+                q, v = pinned_contact_step(
+                    m, solver.cm, q, v, u, jnp.ones(4, bool),
+                    jnp.asarray(feet), dt_mpc / substeps)
+            t += dt_mpc
+            dqe = model_mod.difference(m, q0, q)
+            err += float(jnp.sum(dqe * dqe)) + float(jnp.sum(v * v))
+        assert np.isfinite(err), law
+        results[law] = err
+    # feedback interpolation must not track worse than ZOH (and in this
+    # perturbed setup it should be strictly better)
+    assert results["lqr"] < results["zoh"], results
+
+
 def test_schedule_host_counts_cached(anymal):
     """Builders attach host-side counts (no device fetch on the hot path);
     tree-mapped schedules fall back to one fetch with the same answer."""

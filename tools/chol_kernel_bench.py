@@ -1,9 +1,16 @@
-"""Micro-benchmark: ops.chol.chol_tri_inv (Pallas, batch-on-lanes) vs the
-XLA cholesky + triangular_solve chain, on the real chip.
+"""Micro-benchmark: small-matrix Cholesky + triangular-inverse backends
+on the real chip — XLA custom-call chain vs ops.chol (Pallas,
+batch-on-lanes) vs ops.smallchol (unrolled scalars, the production path).
+
+Two measurement modes per backend:
+  - dispatch-level (10 pipelined dispatches; includes the tunneled
+    platform's ~20 ms fixed per-dispatch floor), and
+  - in-graph (K=50 factorization batches chained inside one jit via
+    lax.scan — the honest device-time number; this is how the ops run
+    inside the solver's update program).
 
 Usage: python tools/chol_kernel_bench.py [B]
-Timings are amortized over pipelined dispatches (the tunneled platform
-has ~20 ms fixed per dispatch — see tools/runtime_profile.py).
+Round-5 numbers are recorded in PROFILE_r05.json.
 """
 import os
 import sys
@@ -19,41 +26,50 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/idocp_tpu_jax_cache")
-    from idocp_tpu.ops import chol_tri_inv
+    from idocp_tpu.ops import chol_tri_inv as pallas_ctinv
+    from idocp_tpu.ops import smallchol
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 10240
+    K = 50
     key = jax.random.PRNGKey(0)
-    for n in (12, 18, 30):
+    for n in (12, 18):
         X = jax.random.normal(key, (B, n, n), jnp.float32)
         A = (X @ jnp.swapaxes(X, 1, 2) / n
              + 2.0 * jnp.eye(n, dtype=jnp.float32))
+        shifts = 1.0 + 0.01 * jnp.arange(K, dtype=jnp.float32)
 
-        @jax.jit
-        def xla_chain(Am):
+        def chain(core):
+            @jax.jit
+            def run(Am):
+                def body(acc, s):
+                    return acc + jnp.sum(core(s * Am)), None
+                out, _ = jax.lax.scan(body, jnp.float32(0), shifts)
+                return out
+            return run
+
+        def xla_core(Am):
             L = jnp.linalg.cholesky(Am)
             eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), Am.shape)
-            Li = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-            return jnp.sum(Li)
+            return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
 
-        @jax.jit
-        def pallas_kernel(Am):
-            return jnp.sum(chol_tri_inv(Am))
-
-        for name, fn in (("xla", xla_chain), ("pallas", pallas_kernel)):
+        cases = [("xla", chain(xla_core)),
+                 ("pallas", chain(pallas_ctinv)),
+                 ("unrolled", chain(jax.vmap(smallchol.chol_tri_inv)))]
+        for name, fn in cases:
             try:
                 ref = np.asarray(fn(A))
             except Exception as exc:  # lowering may reject a shape
                 print(f"n={n} {name}: FAILED ({type(exc).__name__})")
                 continue
             ts = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
-                outs = [fn(A) for _ in range(10)]
-                for o in outs:
-                    np.asarray(o)
-                ts.append((time.perf_counter() - t0) / 10)
-            print(f"n={n} B={B} {name:7s} {min(ts)*1e3:8.2f} ms "
-                  f"(sum={ref:.4g})", flush=True)
+                np.asarray(fn(A))
+                ts.append(time.perf_counter() - t0)
+            per_ms = min(ts) / K * 1e3
+            print(f"n={n} B={B} {name:9s} {per_ms:8.3f} ms/batch in-graph "
+                  f"({per_ms/B*1e6:.0f} ns/matrix, sum={ref:.6g})",
+                  flush=True)
 
 
 if __name__ == "__main__":
