@@ -106,11 +106,12 @@ def build(batch=BATCH, n_horizon=N_HORIZON, use_ls=None, alphas=None,
                             max_step_norm=(float("inf") if use_ls else 1.0))
 
     # representative mid-trot horizon: one touchdown (impulse + switching)
-    # inside the window, diagonal pair swinging before it. Longer horizons
-    # (BENCH_N for the horizon-scaling study) stretch T so the per-stage
-    # dt (and the gait content) stays comparable.
+    # inside the window, diagonal pair swinging before it. T stays fixed
+    # for non-default BENCH_N (horizon-scaling study): finer dt, same
+    # gait content, so the touchdown count stays within the impulse-slot
+    # budget at every N.
     gait = TrotGait(t_start=0.1)
-    T = 0.5 * (n_horizon / 20.0)
+    T = 0.5
     solver = OCPSolver(m, cm, cost, cons, T=T, N=n_horizon,
                        options=options, dtype=dtype)
     mpc = MPC(solver, gait, feet)

@@ -31,11 +31,22 @@ def initialize(coordinator_address: Optional[str] = None,
     """Bring up the multi-host JAX runtime (reference: none — single
     process; TPU-native: jax.distributed over DCN). No-op when running
     single-process (the common dev/test path) or when already initialized.
+
+    Must not touch any backend-initializing JAX API before
+    jax.distributed.initialize (jax.process_count() counts — it
+    initializes the XLA backend, after which distributed bring-up is
+    rejected; round-5 fix found by the two-process smoke test), so the
+    already-initialized check reads the distributed client state
+    directly.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
     if coordinator_address is None and num_processes in (None, 1):
         return  # single-process run
+    try:
+        from jax._src import distributed as _dist_state
+        if _dist_state.global_state.client is not None:
+            return  # already initialized by the launcher
+    except Exception:
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

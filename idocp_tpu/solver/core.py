@@ -186,6 +186,32 @@ def make_update_fn(model, options, linearize_all: Callable,
             alpha_d = jnp.minimum(alpha_d, _ftb(sol.dual[name], dnu_full,
                                                 tau))
 
+        # Direction-finiteness freeze: a non-finite Newton direction (an
+        # extreme iterate can overwhelm even chol_rescue in f32) must
+        # STALL the scenario — zero step, iterate unchanged — instead of
+        # poisoning it (0 * NaN = NaN would otherwise leak through the
+        # slack/dual updates even at alpha = 0). Scalar flag, one fused
+        # reduction; per-scenario under vmap. The stalled scenario's
+        # next linearization restarts from the last finite iterate.
+        finite_dir = (jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(du))
+                      & jnp.all(jnp.isfinite(dwe))
+                      & jnp.all(jnp.isfinite(lam_new))
+                      & jnp.all(jnp.isfinite(nu_e))
+                      & jnp.all(jnp.isfinite(dxi)))
+        for name in ds_all:
+            finite_dir = (finite_dir & jnp.all(jnp.isfinite(ds_all[name]))
+                          & jnp.all(jnp.isfinite(dnu_all[name])))
+        _zero = lambda x: jnp.where(finite_dir, x, jnp.zeros_like(x))
+        dx, du, dwe = _zero(dx), _zero(du), _zero(dwe)
+        ds_all = {k: _zero(v) for k, v in ds_all.items()}
+        dnu_all = {k: _zero(v) for k, v in dnu_all.items()}
+        lam_old = jnp.concatenate([sol.lmd, sol.gmm], axis=1)
+        lam_new = jnp.where(finite_dir, lam_new, lam_old)
+        nu_old = jnp.concatenate([sol.beta, sol.mu], axis=1) \
+            if w_split != nv else sol.beta
+        nu_e = jnp.where(finite_dir, nu_e, nu_old)
+        dxi = jnp.where(finite_dir, dxi, sol.xi)
+
         # direction components in primal space
         if w_split == nv:  # unconstr: w = (u, a)
             u_dir, a_dir, f_dir = dwe, du, None
@@ -285,7 +311,11 @@ def make_update_fn(model, options, linearize_all: Callable,
             xi=xi_new, dual=dual_new, filter_cost=fc_new,
             filter_viol=fv_new, filter_ptr=fp_new)
 
-        dirnorm = jnp.sqrt(jnp.sum(dx * dx) + jnp.sum(du * du))
+        # a frozen (non-finite-direction) scenario must NOT look converged
+        # to the direction-norm convergence proxy
+        dirnorm = jnp.where(
+            finite_dir, jnp.sqrt(jnp.sum(dx * dx) + jnp.sum(du * du)),
+            jnp.asarray(jnp.inf, dx.dtype))
         if options.compute_kkt_error:
             kkt_err = kkt_error_from_lin(model, options, N, lin, term, sol,
                                          q_meas, v_meas)
@@ -294,7 +324,9 @@ def make_update_fn(model, options, linearize_all: Callable,
         stats = UpdateStats(
             cost=jnp.sum(lin.cost) + term_val,
             barrier=jnp.sum(lin.barrier) + term_barrier,
-            alpha_primal=ap, alpha_dual=ad,
+            # a frozen step is also a rejected step for observability
+            alpha_primal=jnp.where(finite_dir, ap, jnp.zeros_like(ap)),
+            alpha_dual=ad,
             kkt_direction_norm=dirnorm,
             violation=viol0,
             kkt_error=kkt_err,

@@ -83,7 +83,7 @@ q_b_host = np.asarray(jnp.zeros((B, 7)) + dq)
 v_b_host = np.zeros((B, 7))
 
 sol_b = batch_solution(solver.solution, B)
-bs_ref = BatchedSolver(solver)
+bs_ref = BatchedSolver(solver, extra_axes=())
 _, stats_ref = bs_ref.update(sol_b, 0.0, jnp.asarray(q_b_host),
                              jnp.asarray(v_b_host))
 cost_ref = np.asarray(stats_ref.cost)
@@ -98,7 +98,7 @@ sol_np = jax.tree_util.tree_map(np.asarray, sol_b)
 sol_sharded = jax.tree_util.tree_map(put, sol_np)
 q_b = put(q_b_host)
 v_b = put(v_b_host)
-bs = BatchedSolver(solver)
+bs = BatchedSolver(solver, extra_axes=())
 _, stats = bs.update(sol_sharded, 0.0, q_b, v_b)
 from jax.experimental import multihost_utils  # noqa: E402
 cost_sh = np.asarray(multihost_utils.process_allgather(

@@ -251,3 +251,51 @@ def test_trot_no_line_search_with_barrier_continuation():
                                        sched_k)
         costs.append(float(stats.cost))
     assert np.all(np.isfinite(costs)), costs
+
+
+def test_nonfinite_direction_freezes_iterate():
+    """A non-finite Newton direction must STALL the scenario — iterate
+    unchanged, alpha_primal = 0, direction-norm proxy = inf — instead of
+    poisoning it with NaN through the slack/dual updates (round-5
+    safeguard for the no-line-search f32 tail observed at large batch)."""
+    import dataclasses
+    dtype = jnp.float32
+    m32 = iiwa14.make_model(dtype=dtype)
+    solver = UnconstrOCPSolver(
+        m32,
+        [ConfigurationSpaceCost(
+            q_weight=10.0 * jnp.ones(7, dtype),
+            v_weight=0.1 * jnp.ones(7, dtype),
+            a_weight=0.01 * jnp.ones(7, dtype),
+            u_weight=0.001 * jnp.ones(7, dtype),
+            qf_weight=10.0 * jnp.ones(7, dtype),
+            vf_weight=jnp.ones(7, dtype),
+            q_ref=jnp.asarray(0.5 * np.ones(7), dtype))],
+        [], T=0.8, N=4,
+        options=SolverOptions(barrier=1e-3, use_line_search=False,
+                              compute_kkt_error=False),
+        dtype=dtype)
+    q0 = jnp.zeros(7, dtype)
+    solver.set_solution(q0, jnp.zeros(7, dtype))
+    solver.init_constraints()
+    # inject a non-finite entry: the linearization (and hence the Newton
+    # direction) goes NaN, but the stored iterate itself stays as-is
+    inf32 = jnp.asarray(jnp.inf, dtype)  # keep the f32 solution dtype
+    sick = dataclasses.replace(
+        solver.solution, v=solver.solution.v.at[1, 0].set(inf32))
+    solver.solution = sick
+    before = jax.tree_util.tree_map(np.asarray, sick)
+    stats = solver.update_solution(0.0, q0, jnp.zeros(7, dtype))
+    after = solver.solution
+    assert float(stats.alpha_primal) == 0.0
+    assert np.isinf(float(stats.kkt_error))  # dirnorm proxy
+    for name in ("q", "a", "u"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(after, name)), getattr(before, name),
+            err_msg=name)
+    # v keeps its injected inf — unchanged, NOT NaN-poisoned
+    v_after = np.asarray(after.v)
+    assert np.isinf(v_after[1, 0]) and not np.isnan(v_after).any()
+    for k in after.slack:
+        assert np.isfinite(np.asarray(after.slack[k])).all(), k
+        assert np.isfinite(np.asarray(after.dual[k])).all(), k
