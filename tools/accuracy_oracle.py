@@ -159,9 +159,14 @@ def run_iiwa(with_limits, dtype, iters, N=50):
 
 
 def run_closed_loop(n_periods=12, dt_mpc=0.05):
-    """Receding-horizon trot: f64 serial reference and f32 shipping
-    config see the SAME measured states (driven by the f64 torques
-    through the pinned-contact simulator); per-step u0 error."""
+    """Receding-horizon trot: f64 and f32 solvers in the SAME shipping
+    config (no-LS + trust cap — one warm-started Newton iteration per
+    period, the reference MPC semantic) see the SAME measured states
+    (driven by the f64 torques through the pinned-contact simulator);
+    per-step u0 error then isolates PRECISION accumulation through the
+    warm-start trajectory. (Comparing different globalization configs
+    here measures config divergence of semi-converged iterates, not
+    numerics — both sides must step identically.)"""
     import jax.numpy as jnp
     import numpy as np
 
@@ -170,7 +175,7 @@ def run_closed_loop(n_periods=12, dt_mpc=0.05):
 
     gait = TrotGait(t_start=0.25)
     solvers = {}
-    for label, dtype, shipping in (("ref", jnp.float64, False),
+    for label, dtype, shipping in (("ref", jnp.float64, True),
                                    ("f32", jnp.float32, True)):
         solver, m, cm, q0, feet = build_solver(dtype, 20, shipping=shipping)
         mpc = MPC(solver, gait, feet)
