@@ -127,8 +127,23 @@ def backward_step(P, s, cs: CondensedStage, sw_mask, reg=0.0):
     return P_new, s_new, policy
 
 
+def _resolve_unroll(unroll: int, N: int) -> int:
+    """Scan unroll factor. 0 = auto: FULL unroll for N <= 32 (the
+    while-loop's per-iteration dispatch was ~17% of the update once the
+    stage factorizations got cheap — device trace, PROFILE_r05; full
+    unroll measured +10% end-to-end on-chip), rolled loop beyond to
+    bound compile time. Env IDOCP_SCAN_UNROLL overrides for A/B runs."""
+    import os
+    env = os.environ.get("IDOCP_SCAN_UNROLL")
+    if env is not None:
+        unroll = int(env)
+    if unroll == 0:
+        return N if N <= 32 else 1
+    return max(1, unroll)
+
+
 def backward_recursion(P_term, s_term, stages: CondensedStage, sw_mask,
-                       reg=0.0):
+                       reg=0.0, unroll=0):
     """Scan from terminal to 0. stages: CondensedStage with leading stage
     axis (N, ...); sw_mask (N, ns). Returns stacked (P, s, policy) with
     P/s of shape (N+1, ...) including the terminal entry at index N."""
@@ -139,17 +154,16 @@ def backward_recursion(P_term, s_term, stages: CondensedStage, sw_mask,
         P1, s1, pol = backward_step(P, s, cs, m, reg=reg)
         return (P1, s1), (P1, s1, pol)
 
-    import os
-    unroll = int(os.environ.get("IDOCP_SCAN_UNROLL", "1"))
     (_, _), (Ps, ss, pols) = jax.lax.scan(
         step, (P_term, s_term), (stages, sw_mask), reverse=True,
-        unroll=unroll)
+        unroll=_resolve_unroll(unroll, stages.A.shape[0]))
     P_all = jnp.concatenate([Ps, P_term[None]], axis=0)
     s_all = jnp.concatenate([ss, s_term[None]], axis=0)
     return P_all, s_all, pols
 
 
-def forward_rollout(dx0, stages: CondensedStage, pols: LQRPolicy):
+def forward_rollout(dx0, stages: CondensedStage, pols: LQRPolicy,
+                    unroll=0):
     """Scan 0 → N: dx_{k+1} = A dx_k + B du_k + r with du = K dx + k.
     Returns (dx (N+1, nx), du (N, nu), dxi (N, ns))."""
 
@@ -160,9 +174,8 @@ def forward_rollout(dx0, stages: CondensedStage, pols: LQRPolicy):
         dx1 = cs.A @ dx + cs.B @ du + cs.xres
         return dx1, (dx, du, dxi)
 
-    import os
-    unroll = int(os.environ.get("IDOCP_SCAN_UNROLL", "1"))
-    dxN, (dxs, dus, dxis) = jax.lax.scan(step, dx0, (stages, pols),
-                                         unroll=unroll)
+    dxN, (dxs, dus, dxis) = jax.lax.scan(
+        step, dx0, (stages, pols),
+        unroll=_resolve_unroll(unroll, stages.A.shape[0]))
     dx_all = jnp.concatenate([dxs, dxN[None]], axis=0)
     return dx_all, dus, dxis

@@ -86,8 +86,10 @@ def make_direction_fn(model, options, linearize_all: Callable,
         else:
             P, s, pols = recursion.backward_recursion(
                 term_H, term_l, cs, lin.sw_mask,
-                reg=options.riccati_regularization)
-            dx, du, dxi = recursion.forward_rollout(dx0, cs, pols)
+                reg=options.riccati_regularization,
+                unroll=options.scan_unroll)
+            dx, du, dxi = recursion.forward_rollout(
+                dx0, cs, pols, unroll=options.scan_unroll)
         dwe = jax.vmap(lambda c, x, uu: c.Wx @ x + c.Wk @ uu + c.w0)(
             cs, dx[:-1], du)
         return lin, term, cs, facs, P, s, dx, du, dxi, dwe, pols
@@ -149,8 +151,10 @@ def make_update_fn(model, options, linearize_all: Callable,
         else:
             P, s, pols = recursion.backward_recursion(
                 term_H, term_l, cs, lin.sw_mask,
-                reg=options.riccati_regularization)
-            dx, du, dxi = recursion.forward_rollout(dx0, cs, pols)
+                reg=options.riccati_regularization,
+                unroll=options.scan_unroll)
+            dx, du, dxi = recursion.forward_rollout(
+                dx0, cs, pols, unroll=options.scan_unroll)
             lam_new = jnp.einsum("kij,kj->ki", P, dx) + s  # (N+1, 2nv)
 
         dwe = jax.vmap(lambda c, x, uu: c.Wx @ x + c.Wk @ uu + c.w0)(

@@ -47,6 +47,14 @@ class SolverOptions:
     # NaN territory — the cap is the cheap globalization that keeps the
     # no-line-search hot path viable. inf (default) disables it.
     max_step_norm: float = float("inf")
+    # Riccati lax.scan unroll factor. 0 (default) = auto: FULL unroll for
+    # horizons N <= 32, no unroll beyond. Once the per-stage factorization
+    # became cheap (ops/smallchol), the while-loop's per-iteration
+    # dispatch was ~17% of the update (device trace, PROFILE_r05); full
+    # unroll bought +10% end-to-end on-chip (4260 -> 4682 solves/s) at
+    # ~2x scan compile time. Long horizons keep the rolled loop to bound
+    # compile. Env IDOCP_SCAN_UNROLL overrides for A/B runs.
+    scan_unroll: int = 0
     # Compute the full KKT stationarity residual inside every update
     # (needed by solve()'s convergence test). The MPC/bench hot path calls
     # update_solution once per control period and ignores it — set False
